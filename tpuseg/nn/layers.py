@@ -1,0 +1,255 @@
+"""Shared layer vocabulary of the tpuseg model zoo.
+
+Rank-generic (2D/3D) conv blocks in channels-last layout.  These are the
+TPU-native re-design of the reference's repeated block patterns:
+
+ * ``ConvBlock``  — (conv3^n no-bias → GroupNorm(8) → channel-dropout →
+   ReLU) × 2, the U-Net block (`/root/reference/networks/Unet2d.py:64-85`).
+ * ``LUConv`` / ``InputTransition`` / ``DownTransition`` / ``UpTransition``
+   — the V-Net family vocabulary (`/root/reference/networks/VNet2d.py:5-100`,
+   `VNet3d.py:5-100`), with the reference's ``self.feature`` construction
+   typo (`VNet3d.py:127`) consciously not reproduced.
+
+Weight init mirrors `/root/reference/networks/__init__.py:11-26`:
+He-normal for conv kernels, He-uniform for dense, ones/zeros for norms.
+
+Channel-dropout (torch's Dropout2d/3d semantics: whole feature maps are
+zeroed) is expressed with flax Dropout broadcast over the spatial dims so a
+single mask per (batch, channel) is generated — far cheaper on the VPU than
+per-voxel masks.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+he_normal = nn.initializers.he_normal
+he_uniform = nn.initializers.he_uniform
+
+
+def _tup(v, ndim: int) -> Tuple[int, ...]:
+    if isinstance(v, (tuple, list)):
+        assert len(v) == ndim
+        return tuple(v)
+    return (v,) * ndim
+
+
+class ConvND(nn.Module):
+    """channels-last conv over `ndim` spatial dims."""
+
+    features: int
+    ndim: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    strides: Union[int, Sequence[int]] = 1
+    padding: Union[str, int] = "SAME"
+    use_bias: bool = True
+    feature_group_count: int = 1
+    kernel_dilation: Union[int, Sequence[int]] = 1
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad)] * self.ndim
+        return nn.Conv(
+            features=self.features,
+            kernel_size=_tup(self.kernel_size, self.ndim),
+            strides=_tup(self.strides, self.ndim),
+            padding=pad,
+            use_bias=self.use_bias,
+            feature_group_count=self.feature_group_count,
+            kernel_dilation=_tup(self.kernel_dilation, self.ndim),
+            kernel_init=he_normal(),
+        )(x)
+
+
+class ConvTransposeND(nn.Module):
+    """channels-last transpose conv; kernel=strides=2 is the zoo's upsampler."""
+
+    features: int
+    ndim: int
+    kernel_size: Union[int, Sequence[int]] = 2
+    strides: Union[int, Sequence[int]] = 2
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.ConvTranspose(
+            features=self.features,
+            kernel_size=_tup(self.kernel_size, self.ndim),
+            strides=_tup(self.strides, self.ndim),
+            padding="VALID" if _tup(self.kernel_size, self.ndim) == _tup(self.strides, self.ndim) else "SAME",
+            use_bias=self.use_bias,
+            kernel_init=he_normal(),
+        )(x)
+
+
+class ChannelDropout(nn.Module):
+    """torch Dropout2d/3d semantics: drop whole channels (broadcast over space)."""
+
+    rate: float
+    ndim: int
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if self.rate == 0.0:
+            return x
+        return nn.Dropout(
+            rate=self.rate,
+            broadcast_dims=tuple(range(1, 1 + self.ndim)),
+        )(x, deterministic=deterministic)
+
+
+def max_pool_nd(x, ndim: int, window: int = 2, stride: Optional[int] = None):
+    stride = stride or window
+    dims = (1,) + (window,) * ndim + (1,)
+    strides = (1,) + (stride,) * ndim + (1,)
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, dims, strides, "VALID"
+    )
+
+
+def avg_pool_nd(x, ndim: int, window: int = 2, stride: Optional[int] = None):
+    stride = stride or window
+    dims = (1,) + (window,) * ndim + (1,)
+    strides = (1,) + (stride,) * ndim + (1,)
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, "VALID")
+    return summed / float(window ** ndim)
+
+
+def global_avg_pool(x, ndim: int):
+    return jnp.mean(x, axis=tuple(range(1, 1 + ndim)))
+
+
+def upsample_nd(x, ndim: int, factor: int = 2, method: str = "linear"):
+    """nearest / (bi|tri)linear upsampling of channels-last tensors."""
+    shape = list(x.shape)
+    for d in range(1, 1 + ndim):
+        shape[d] = shape[d] * factor
+    if method == "nearest":
+        method = "nearest"
+    elif method == "linear":
+        method = "linear"  # jax.image linear == align_corners=False
+    return jax.image.resize(x, tuple(shape), method=method)
+
+
+class ConvBlock(nn.Module):
+    """(conv k3 no-bias → GroupNorm(8) → channel-dropout → ReLU) × repeats.
+
+    The U-Net encoder/decoder block (`networks/Unet2d.py:64-85`).
+    """
+
+    features: int
+    ndim: int
+    dropout: float = 0.2
+    repeats: int = 2
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        for _ in range(self.repeats):
+            x = ConvND(self.features, self.ndim, 3, use_bias=False)(x)
+            x = nn.GroupNorm(num_groups=self.groups)(x)
+            x = ChannelDropout(self.dropout, self.ndim)(x, deterministic=not train)
+            x = nn.relu(x)
+        return x
+
+
+class LUConv(nn.Module):
+    """V-Net unit conv: conv3 → GN(8) → dropout → ReLU (`VNet2d.py:5-16`)."""
+
+    features: int
+    ndim: int
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = ConvND(self.features, self.ndim, 3)(x)
+        x = nn.GroupNorm(num_groups=8)(x)
+        x = ChannelDropout(self.dropout, self.ndim)(x, deterministic=not train)
+        return nn.relu(x)
+
+
+class InputTransition(nn.Module):
+    """V-Net stem: 3^n conv path + 1^n conv residual path, shared norm
+    (`VNet2d.py:25-43`)."""
+
+    features: int
+    ndim: int
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        norm = nn.GroupNorm(num_groups=8)
+        drop = ChannelDropout(self.dropout, self.ndim)
+        a = ConvND(self.features, self.ndim, 3)(x)
+        a = nn.relu(drop(norm(a), deterministic=not train))
+        b = ConvND(self.features, self.ndim, 1)(x)
+        b = nn.relu(drop(norm(b), deterministic=not train))
+        return a + b
+
+
+class DownTransition(nn.Module):
+    """V-Net down stage: stride-2 conv → n LUConvs → residual add
+    (`VNet2d.py:46-59`)."""
+
+    features: int
+    ndim: int
+    n_convs: int
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        down = ConvND(self.features, self.ndim, 2, strides=2, padding="VALID")(x)
+        down = nn.GroupNorm(num_groups=8)(down)
+        down = ChannelDropout(self.dropout, self.ndim)(down, deterministic=not train)
+        down = nn.relu(down)
+        out = down
+        for _ in range(self.n_convs):
+            out = LUConv(self.features, self.ndim, self.dropout)(out, train=train)
+        return out + down
+
+
+class UpTransition(nn.Module):
+    """V-Net up stage: transpose-conv → concat skip → 1^n squeeze →
+    n LUConvs → residual add (`VNet2d.py:62-80`)."""
+
+    features: int
+    ndim: int
+    n_convs: int
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, skip, *, train: bool = False):
+        norm = nn.GroupNorm(num_groups=8)
+        drop = ChannelDropout(self.dropout, self.ndim)
+        up = ConvTransposeND(self.features, self.ndim, 2, 2)(x)
+        up = nn.relu(drop(norm(up), deterministic=not train))
+        cat = jnp.concatenate([up, skip], axis=-1)
+        cat = ConvND(self.features, self.ndim, 1)(cat)
+        cat = nn.relu(drop(nn.GroupNorm(num_groups=8)(cat), deterministic=not train))
+        out = cat
+        for _ in range(self.n_convs):
+            out = LUConv(self.features, self.ndim, self.dropout)(out, train=train)
+        return out + cat
+
+
+class OutputHead(nn.Module):
+    """1^n conv head returning (logits, probs) — the zoo-wide forward
+    contract (`networks/Unet2d.py:56-62`): sigmoid for 1 class, softmax
+    over the channel axis otherwise."""
+
+    num_classes: int
+    ndim: int
+
+    @nn.compact
+    def __call__(self, x):
+        logits = ConvND(self.num_classes, self.ndim, 1)(x)
+        if self.num_classes == 1:
+            probs = jax.nn.sigmoid(logits)
+        else:
+            probs = jax.nn.softmax(logits, axis=-1)
+        return logits, probs

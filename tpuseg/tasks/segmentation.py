@@ -1,0 +1,67 @@
+"""Segmentation task: binds (network, loss, metric) into Trainer callables.
+
+Replaces the per-class glue of `/root/reference/model/modelUnet.py:69-89`
+(stringly-typed loss/metric if-chains) with one parameterized factory.
+Batches are channels-last: image (N, *spatial, C), label (N, *spatial)
+int (multiclass) or float 0/1 (binary).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpuseg import metrics as metrics_lib
+from tpuseg.losses import build_loss
+from tpuseg.tasks.trainer import Trainer, TrainerConfig
+from tpuseg.core.mesh import MeshContext
+
+
+def make_segmentation_trainer(
+    model,
+    example_image,
+    num_classes: int,
+    loss_name: str,
+    alpha=None,
+    gamma: float = 2.0,
+    accuracy_name: str = "dice",
+    config: Optional[TrainerConfig] = None,
+    mesh: Optional[MeshContext] = None,
+    seed: int = 0,
+    viz_fn=None,
+) -> Trainer:
+    config = config or TrainerConfig()
+    loss = build_loss(loss_name, num_classes, alpha=alpha, gamma=gamma)
+
+    params = model.init(jax.random.key(seed), jnp.asarray(example_image))
+
+    def apply_fn(params, batch, train, rng):
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        logits, probs = model.apply(
+            params, batch["image"], train=train, rngs=rngs
+        )
+        return {"logits": logits, "probs": probs}
+
+    if loss_name in ("BinaryLovaszLoss",):
+        def loss_fn(outputs, batch):
+            return loss(outputs["logits"][..., 0], batch["label"].astype(jnp.float32))
+    else:
+        def loss_fn(outputs, batch):
+            return loss(outputs["logits"], batch["label"])
+
+    if num_classes == 1:
+        if accuracy_name == "dice":
+            metric = metrics_lib.dice_coeff
+        else:
+            metric = metrics_lib.iou_coeff
+    else:
+        if accuracy_name == "dice":
+            metric = metrics_lib.multiclass_dice_coeff
+        else:
+            metric = metrics_lib.multiclass_iou_coeff
+
+    def metric_fn(outputs, batch):
+        return metric(outputs["probs"], batch["label"])
+
+    return Trainer(apply_fn, loss_fn, metric_fn, params, config, mesh, viz_fn=viz_fn)

@@ -1,0 +1,147 @@
+"""tpuseg benchmark — prints ONE JSON line for the driver.
+
+Primary metric (BASELINE.json): VNet3d sliding-window 3D inference,
+volumes/sec/chip.  Secondary: UNet3d train steps/sec at the reference's
+KiPA2022 config (112x112x128, 5 classes, batch 1 — `train.py:34`).
+
+vs_baseline is measured throughput / a *modeled* A100-PyTorch baseline
+(the reference publishes no numbers, SURVEY.md §6): VNet3d forward FLOPs
+are computed analytically per 96^3 patch and divided by an assumed 25
+TFLOP/s effective A100 conv3d throughput (fp32/TF32 torch, realistic
+utilization), times the patch count per volume.  The model is documented
+here so later rounds can refine it; the absolute volumes/sec is the
+number that matters.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def vnet3d_fwd_flops(patch=96, features=16, num_classes=2, in_ch=1):
+    """Analytic conv FLOPs (2*K^3*Cin*Cout*Vout) of our VNet3d forward."""
+    f = features
+    total = 0.0
+
+    def conv(k, cin, cout, res):
+        return 2.0 * (k ** 3) * cin * cout * (res ** 3)
+
+    r = patch
+    # InputTransition: conv3 in->f, conv1 in->f
+    total += conv(3, in_ch, f, r) + conv(1, in_ch, f, r)
+    # DownTransitions: (f*2,2),(f*4,3),(f*8,3),(f*16,3)
+    cin = f
+    for mult, n in ((2, 2), (4, 3), (8, 3), (16, 3)):
+        cout = f * mult
+        r //= 2
+        total += conv(2, cin, cout, r)  # stride-2 down conv
+        total += n * conv(3, cout, cout, r)
+        cin = cout
+    # UpTransitions: (f*8,3),(f*4,3),(f*2,2),(f,1)
+    for mult, n in ((8, 3), (4, 3), (2, 2), (1, 1)):
+        cout = f * mult
+        r *= 2
+        total += conv(2, cin, cout, r)  # transpose conv
+        total += conv(1, cout * 2, cout, r)  # squeeze after concat
+        total += n * conv(3, cout, cout, r)
+        cin = cout
+    total += conv(1, f, num_classes, r)
+    return total
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.models.unet import UNet
+    from tpuseg.models.vnet import VNet
+    from tpuseg.infer.sliding_window import sliding_window_inference, grid_positions
+    from tpuseg.tasks.segmentation import make_segmentation_trainer
+    from tpuseg.tasks.trainer import TrainerConfig
+
+    dev = jax.devices()[0]
+    platform = dev.platform
+
+    # ---------------- primary: VNet3d sliding-window volumes/sec/chip ----
+    PATCH = (96, 96, 96)
+    VOL = (160, 160, 192)  # KiPA-like CT after spacing resample
+    NUM_CLASSES = 2
+    BATCH = 4
+    model = VNet(ndim=3, num_classes=NUM_CLASSES, features=16)
+    x0 = jnp.zeros((1, *PATCH, 1), jnp.bfloat16)
+    params = model.init(jax.random.key(0), x0)
+    params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+
+    def apply_fn(patches):
+        logits, probs = model.apply(params, patches.astype(jnp.bfloat16))
+        return probs.astype(jnp.float32)
+
+    vol = np.random.default_rng(0).normal(size=VOL).astype(np.float32)
+    # warmup / compile
+    probs = sliding_window_inference(vol, PATCH, apply_fn, NUM_CLASSES, BATCH)
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        probs = sliding_window_inference(vol, PATCH, apply_fn, NUM_CLASSES, BATCH)
+    dt = (time.perf_counter() - t0) / reps
+    vols_per_sec = 1.0 / dt
+
+    n_patches = len(grid_positions(VOL, PATCH, 0.5))
+    flops_per_vol = vnet3d_fwd_flops(96, 16, NUM_CLASSES) * n_patches
+    a100_effective_flops = 25e12  # modeled: A100 torch conv3d fp32/TF32
+    baseline_vols_per_sec = a100_effective_flops / flops_per_vol
+
+    # ---------------- secondary: UNet3d train steps/sec ------------------
+    TRAIN_SHAPE = (128, 112, 112)  # (D,H,W) = reference KiPA 112x112x128
+    unet = UNet(ndim=3, num_classes=5, features=16, dropout=0.2)
+    trainer = make_segmentation_trainer(
+        unet,
+        example_image=np.zeros((1, *TRAIN_SHAPE, 1), np.float32),
+        num_classes=5,
+        loss_name="MutilDiceLoss",
+        alpha=[1.0] * 5,
+        config=TrainerConfig(epochs=1, lr=1e-3, optimizer="adam"),
+    )
+    trainer._build_steps()
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.normal(size=(1, *TRAIN_SHAPE, 1)).astype(np.float32),
+        "label": rng.integers(0, 5, size=(1, *TRAIN_SHAPE)).astype(np.int32),
+    }
+    dev_batch = trainer._put(batch)
+    state, m = trainer._train_step(trainer.state, dev_batch)  # compile
+    jax.block_until_ready(m["loss"])
+    # re-put because state was donated
+    steps = 10
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = trainer._train_step(state, dev_batch)
+    jax.block_until_ready(m["loss"])
+    train_steps_per_sec = steps / (time.perf_counter() - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "VNet3d sliding-window inference (160x160x192 vol, 96^3 patches, bf16)",
+                "value": round(vols_per_sec, 4),
+                "unit": "volumes/sec/chip",
+                "vs_baseline": round(vols_per_sec / baseline_vols_per_sec, 3),
+                "extra": {
+                    "platform": platform,
+                    "patches_per_volume": int(n_patches),
+                    "unet3d_train_steps_per_sec_112x112x128_bs1": round(
+                        train_steps_per_sec, 4
+                    ),
+                    "modeled_a100_baseline_vols_per_sec": round(
+                        baseline_vols_per_sec, 4
+                    ),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

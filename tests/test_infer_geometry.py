@@ -1,0 +1,148 @@
+"""Tests: sliding-window reconstruction, whole-volume geometry round-trip,
+NIfTI IO round-trip, ITK-equivalent resampling."""
+import os
+import tempfile
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpuseg.data.geometry import (
+    Volume,
+    resample_to_size,
+    resample_to_spacing,
+    largest_connected_component,
+    morphological_operation,
+    nonzero_z_range,
+)
+from tpuseg.data.nifti import read_nifti, write_nifti
+from tpuseg.infer.sliding_window import (
+    grid_positions,
+    sliding_window_inference,
+    probs_to_mask,
+)
+from tpuseg.infer.volume import infer_volume
+
+
+def test_grid_positions_cover():
+    g = grid_positions((50, 64, 32), (32, 32, 32), 0.5)
+    for d in range(3):
+        assert g[:, d].min() == 0
+    assert (g[:, 0] + 32).max() == 50
+    assert (g[:, 1] + 32).max() == 64
+    assert (g[:, 2] + 32).max() == 32  # single position on exact-fit axis
+
+
+def test_sliding_window_identity_reconstruction(rng):
+    """An identity network (probs = input) must reconstruct the volume
+    exactly under weighted overlap merging."""
+    vol = rng.random((40, 48, 56)).astype(np.float32)
+
+    def apply_fn(patches):
+        return patches  # (B, *patch, 1) -> (B, *patch, 1)
+
+    out = sliding_window_inference(vol, (32, 32, 32), apply_fn, 1, batch_size=4)
+    np.testing.assert_allclose(out[..., 0], vol, atol=1e-5)
+
+
+def test_sliding_window_small_volume_pads(rng):
+    vol = rng.random((20, 20, 20)).astype(np.float32)
+
+    def apply_fn(patches):
+        return patches
+
+    out = sliding_window_inference(vol, (32, 32, 32), apply_fn, 1, batch_size=2)
+    assert out.shape == (20, 20, 20, 1)
+    np.testing.assert_allclose(out[..., 0], vol, atol=1e-5)
+
+
+def test_probs_to_mask():
+    p = np.zeros((2, 2, 2, 3), np.float32)
+    p[..., 1] = 1.0
+    assert (probs_to_mask(p) == 1).all()
+    b = np.full((2, 2, 2, 1), 0.7, np.float32)
+    assert (probs_to_mask(b) == 1).all()
+
+
+def test_resample_constant_preserved():
+    vol = Volume(np.full((10, 12, 14), 3.5, np.float32), spacing=(1, 1, 1))
+    out = resample_to_size(vol, (28, 24, 20), "linear")
+    assert out.array.shape == (20, 24, 28)
+    np.testing.assert_allclose(out.array, 3.5, atol=1e-5)
+    # spacing adjusts to preserve physical extent
+    np.testing.assert_allclose(out.spacing, (0.5, 0.5, 0.5))
+
+
+def test_resample_nearest_preserves_labels():
+    lab = np.zeros((8, 8, 8), np.uint8)
+    lab[2:6, 2:6, 2:6] = 3
+    vol = Volume(lab)
+    out = resample_to_size(vol, (16, 16, 16), "nearest")
+    assert set(np.unique(out.array)) <= {0, 3}
+    # downsample back
+    back = resample_to_size(out, (8, 8, 8), "nearest")
+    np.testing.assert_array_equal(back.array, lab)
+
+
+def test_resample_to_spacing():
+    vol = Volume(np.zeros((10, 10, 10), np.float32), spacing=(2.0, 2.0, 2.0))
+    out = resample_to_spacing(vol, (1.0, 1.0, 1.0), "linear")
+    assert out.array.shape == (20, 20, 20)
+    np.testing.assert_allclose(out.spacing, (1, 1, 1))
+
+
+def test_nifti_roundtrip(rng):
+    arr = (rng.random((6, 7, 8)) * 100).astype(np.float32)
+    vol = Volume(
+        arr,
+        origin=(1.5, -2.0, 3.0),
+        spacing=(0.7, 0.8, 2.5),
+        direction=(1, 0, 0, 0, 1, 0, 0, 0, 1),
+    )
+    for suffix in (".nii", ".nii.gz"):
+        path = os.path.join(tempfile.mkdtemp(), "t" + suffix)
+        write_nifti(vol, path)
+        back = read_nifti(path)
+        np.testing.assert_allclose(back.array, arr, rtol=1e-6)
+        np.testing.assert_allclose(back.origin, vol.origin, atol=1e-5)
+        np.testing.assert_allclose(back.spacing, vol.spacing, atol=1e-5)
+        np.testing.assert_allclose(back.direction, vol.direction, atol=1e-5)
+
+
+def test_nifti_uint8_mask_roundtrip():
+    mask = np.zeros((5, 6, 7), np.uint8)
+    mask[1:3] = 2
+    path = os.path.join(tempfile.mkdtemp(), "m.nii.gz")
+    write_nifti(Volume(mask, spacing=(1, 1, 3)), path)
+    back = read_nifti(path)
+    np.testing.assert_array_equal(back.array, mask)
+    assert back.array.dtype == np.uint8
+
+
+def test_infer_volume_geometry_roundtrip(rng):
+    src = Volume(
+        rng.random((30, 40, 50)).astype(np.float32),
+        origin=(5, 6, 7),
+        spacing=(0.9, 0.8, 1.1),
+    )
+
+    def forward(batch):
+        # fake binary net: probability = normalized input
+        x = jnp.asarray(batch)
+        return (x - x.min()) / (x.max() - x.min() + 1e-6)
+
+    mask = infer_volume(src, forward, (32, 32, 32), num_classes=1)
+    assert mask.array.shape == src.array.shape
+    assert mask.GetSpacing() == src.GetSpacing()
+    assert mask.GetOrigin() == src.GetOrigin()
+    assert mask.array.dtype == np.uint8
+
+
+def test_cc_and_morphology():
+    m = np.zeros((10, 10, 10), np.uint8)
+    m[1:4, 1:4, 1:4] = 1  # 27 voxels
+    m[7:9, 7:9, 7:9] = 1  # 8 voxels
+    big = largest_connected_component(m)
+    assert big.sum() == 27
+    er = morphological_operation(m, "erode")
+    assert er.sum() < m.sum()
+    assert nonzero_z_range(m) == (1, 8)

@@ -69,15 +69,8 @@ def shard_batch_pytree(mesh: Mesh, tree):
     return jax.tree_util.tree_map(_put, tree)
 
 
-def param_sharding_rules(mesh: Mesh, params, model_axis_min_size: int = 256):
-    """Tensor-parallel sharding spec for a conv-net param pytree.
-
-    Conv kernels in tpuseg are channels-last: ``(*window, in_ch, out_ch)``.
-    We shard the *output-channel* dimension of large kernels over the
-    ``model`` axis (XLA then inserts the all-gathers / reduce-scatters), and
-    replicate everything small.  This is the TP component the reference
-    lacks entirely (SURVEY.md §2.3).
-    """
+def param_sharding_rule_fn(mesh: Mesh, model_axis_min_size: int = 256):
+    """Per-leaf tensor-parallel rule (see param_sharding_rules)."""
     model_n = mesh.shape[MODEL_AXIS]
 
     def rule(x):
@@ -88,7 +81,21 @@ def param_sharding_rules(mesh: Mesh, params, model_axis_min_size: int = 256):
             return NamedSharding(mesh, P(*([None] * (x.ndim - 1)), MODEL_AXIS))
         return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map(rule, params)
+    return rule
+
+
+def param_sharding_rules(mesh: Mesh, params, model_axis_min_size: int = 256):
+    """Tensor-parallel sharding spec for a conv-net param pytree.
+
+    Conv kernels in tpuseg are channels-last: ``(*window, in_ch, out_ch)``.
+    We shard the *output-channel* dimension of large kernels over the
+    ``model`` axis (XLA then inserts the all-gathers / reduce-scatters), and
+    replicate everything small.  This is the TP component the reference
+    lacks entirely (SURVEY.md §2.3).
+    """
+    return jax.tree_util.tree_map(
+        param_sharding_rule_fn(mesh, model_axis_min_size), params
+    )
 
 
 @dataclasses.dataclass

@@ -1,0 +1,143 @@
+"""Batched sliding-window 3D inference — the north-star benchmark path.
+
+The reference's `inference_patch` (`/root/reference/model/modelUnet.py:
+707-763`) runs ONE patch per forward with a full H2D→fwd→D2H round trip
+each, stepping a half-window grid and union-merging.  The TPU-native
+re-design:
+
+ * the patch grid is computed host-side from the (static) volume shape;
+ * ALL patches are gathered on device with `vmap(dynamic_slice)`;
+ * the network runs over fixed-size patch BATCHES inside one jit (so the
+   MXU sees large batched convs and nothing recompiles across volumes of
+   the same bucketed shape);
+ * overlapping probabilities are scatter-added with a `lax.scan` of
+   `dynamic_update_slice`, then normalized by the accumulated weight —
+   a strict quality upgrade over the reference's binary union merge
+   (its half-window stepping is also miscomputed, `modelUnet.py:724`;
+   we implement the intended 50%-overlap grid);
+ * everything from patch extraction to argmax is ONE compiled program.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def grid_positions(vol_shape: Sequence[int], patch: Sequence[int], overlap: float = 0.5):
+    """Start indices covering `vol_shape` with ~`overlap` fraction overlap,
+    clamped so every patch is fully inside the volume."""
+    pos = []
+    for size, p in zip(vol_shape, patch):
+        if size <= p:
+            pos.append([0])
+            continue
+        step = max(int(round(p * (1.0 - overlap))), 1)
+        starts = list(range(0, size - p + 1, step))
+        if starts[-1] != size - p:
+            starts.append(size - p)
+        pos.append(starts)
+    grid = np.stack(
+        np.meshgrid(*[np.asarray(p) for p in pos], indexing="ij"), axis=-1
+    ).reshape(-1, len(vol_shape))
+    return grid.astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "patch", "batch_size", "num_classes"))
+def _sliding_window_jit(
+    volume,  # (D, H, W, C)
+    positions,  # (P, 3) int32
+    apply_fn,  # (N, *patch, C) -> (N, *patch, num_classes) probabilities
+    patch: Tuple[int, int, int],
+    batch_size: int,
+    num_classes: int,
+):
+    pd, ph, pw = patch
+    c_in = volume.shape[-1]
+    n_pos = positions.shape[0]
+    n_batches = -(-n_pos // batch_size)
+    pad_to = n_batches * batch_size
+    # pad positions by repeating the last one; weights de-duplicate overlap
+    pad_pos = jnp.concatenate(
+        [positions, jnp.tile(positions[-1:], (pad_to - n_pos, 1))], axis=0
+    )
+    pos_w = jnp.concatenate(
+        [jnp.ones((n_pos,), jnp.float32), jnp.zeros((pad_to - n_pos,), jnp.float32)]
+    )
+
+    def extract(p):
+        return jax.lax.dynamic_slice(
+            volume, (p[0], p[1], p[2], 0), (pd, ph, pw, c_in)
+        )
+
+    acc = jnp.zeros(volume.shape[:3] + (num_classes,), jnp.float32)
+    wacc = jnp.zeros(volume.shape[:3] + (1,), jnp.float32)
+
+    def body(carry, batch_idx):
+        acc, wacc = carry
+        sl = jax.lax.dynamic_slice(pad_pos, (batch_idx * batch_size, 0), (batch_size, 3))
+        wsl = jax.lax.dynamic_slice(pos_w, (batch_idx * batch_size,), (batch_size,))
+        patches = jax.vmap(extract)(sl)
+        probs = apply_fn(patches)  # (B, pd, ph, pw, num_classes)
+
+        def scatter(carry, args):
+            acc, wacc = carry
+            p, prob, w = args
+            cur = jax.lax.dynamic_slice(
+                acc, (p[0], p[1], p[2], 0), (pd, ph, pw, num_classes)
+            )
+            acc = jax.lax.dynamic_update_slice(
+                acc, cur + prob * w, (p[0], p[1], p[2], 0)
+            )
+            curw = jax.lax.dynamic_slice(wacc, (p[0], p[1], p[2], 0), (pd, ph, pw, 1))
+            wacc = jax.lax.dynamic_update_slice(
+                wacc, curw + w, (p[0], p[1], p[2], 0)
+            )
+            return (acc, wacc), None
+
+        (acc, wacc), _ = jax.lax.scan(scatter, (acc, wacc), (sl, probs, wsl))
+        return (acc, wacc), None
+
+    (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), jnp.arange(n_batches))
+    return acc / jnp.maximum(wacc, 1e-7)
+
+
+def sliding_window_inference(
+    volume: np.ndarray,
+    patch: Sequence[int],
+    apply_fn: Callable,
+    num_classes: int,
+    batch_size: int = 8,
+    overlap: float = 0.5,
+):
+    """Run `apply_fn` over a half-overlapping patch grid of `volume`
+    ((D,H,W) or (D,H,W,C)) and return merged class probabilities
+    (D,H,W,num_classes)."""
+    vol = np.asarray(volume, np.float32)
+    if vol.ndim == 3:
+        vol = vol[..., None]
+    pad = [(0, max(p - s, 0)) for s, p in zip(vol.shape[:3], patch)] + [(0, 0)]
+    padded = np.pad(vol, pad) if any(p[1] for p in pad) else vol
+    positions = grid_positions(padded.shape[:3], patch, overlap)
+    probs = _sliding_window_jit(
+        jnp.asarray(padded),
+        jnp.asarray(positions),
+        apply_fn,
+        tuple(patch),
+        batch_size,
+        num_classes,
+    )
+    probs = np.asarray(probs)
+    return probs[: vol.shape[0], : vol.shape[1], : vol.shape[2]]
+
+
+def probs_to_mask(probs: np.ndarray, threshold: float = 0.5) -> np.ndarray:
+    """(…,C) probabilities → uint8 label map (threshold for C==1, else argmax),
+    the `predict` tail of `modelUnet.py:968-973`."""
+    if probs.shape[-1] == 1:
+        return (probs[..., 0] > threshold).astype(np.uint8)
+    return np.argmax(probs, axis=-1).astype(np.uint8)

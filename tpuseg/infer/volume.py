@@ -1,0 +1,77 @@
+"""Whole-volume 3D inference with geometry round-trip.
+
+Capability parity with the reference inference stack (SURVEY.md §3.2,
+`/root/reference/model/modelUnet.py:976-996`): resample the volume to the
+network's fixed size (linear), normalize, jitted forward, threshold/argmax,
+resample the mask back to the original size (nearest), and re-stamp the
+original origin/spacing/direction so the written mask overlays the source
+image exactly.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from tpuseg.data.geometry import Volume, resample_to_size, resample_to_spacing
+from tpuseg.data.normalize import percentile_zscore, truncate_and_normalize
+from tpuseg.infer.sliding_window import probs_to_mask, sliding_window_inference
+
+
+def infer_volume(
+    vol: Volume,
+    forward_fn: Callable,  # (1, D, H, W, C) -> (1, D, H, W, num_classes) probs
+    new_size_xyz: Sequence[int],
+    num_classes: int,
+    normalizer: Callable = percentile_zscore,
+    threshold: float = 0.5,
+) -> Volume:
+    """`modelUnet.py:976` inference(): fixed-size resample → normalize →
+    forward → mask → resample back (NN) → original geometry."""
+    resized = resample_to_size(vol, new_size_xyz, "linear")
+    arr = normalizer(resized.array)  # (D,H,W)
+    batch = arr[None, ..., None].astype(np.float32)
+    probs = np.asarray(forward_fn(batch))[0]  # (D,H,W,C)
+    mask = probs_to_mask(probs, threshold)
+
+    mask_vol = Volume(mask.astype(np.uint8))
+    mask_vol.copy_geometry_from(resized)
+    final = resample_to_size(mask_vol, vol.GetSize(), "nearest")
+    final.copy_geometry_from(vol)
+    return final
+
+
+def infer_volume_patched(
+    vol: Volume,
+    apply_fn: Callable,  # (N, *patch, C) -> (N, *patch, num_classes) probs
+    patch_dhw: Sequence[int],
+    num_classes: int,
+    new_spacing_xyz: Optional[Sequence[float]] = None,
+    hu_window: Optional[tuple] = None,  # (upper, lower, method)
+    batch_size: int = 8,
+    overlap: float = 0.5,
+    threshold: float = 0.5,
+) -> Volume:
+    """`modelUnet.py:707` inference_patch(): spacing resample → HU window
+    normalize → batched sliding-window (intended 50% overlap, weighted
+    merge) → mask → resample back to original spacing/shape."""
+    work = (
+        resample_to_spacing(vol, new_spacing_xyz, "linear")
+        if new_spacing_xyz is not None
+        else vol
+    )
+    arr = work.array.astype(np.float32)
+    if hu_window is not None:
+        upper, lower, method = hu_window
+        arr = truncate_and_normalize(arr, upper, lower, method)
+    probs = sliding_window_inference(
+        arr, patch_dhw, apply_fn, num_classes, batch_size, overlap
+    )
+    mask = probs_to_mask(probs, threshold)
+    mask_vol = Volume(mask.astype(np.uint8))
+    mask_vol.copy_geometry_from(work)
+    if new_spacing_xyz is not None:
+        final = resample_to_size(mask_vol, vol.GetSize(), "nearest")
+        final.copy_geometry_from(vol)
+        return final
+    return mask_vol

@@ -38,17 +38,30 @@ def make_segmentation_trainer(
 
     def apply_fn(params, batch, train, rng):
         rngs = {"dropout": rng} if (train and rng is not None) else None
-        logits, probs = model.apply(
-            params, batch["image"], train=train, rngs=rngs
-        )
+        out = model.apply(params, batch["image"], train=train, rngs=rngs)
+        if len(out) == 3:  # deep-supervision nets: (logits, probs, aux_logits)
+            logits, probs, aux = out
+            return {"logits": logits, "probs": probs, "ds_logits": aux}
+        logits, probs = out
         return {"logits": logits, "probs": probs}
+
+    # deep supervision: auxiliary heads weighted 1/2, 1/4, 1/8 … coarsest last
+    def _ds_extra(outputs, batch):
+        extra = 0.0
+        aux = outputs.get("ds_logits", ())
+        # aux is ordered coarsest-first (see resunet3d/kiunet3d); weight the
+        # finer heads more
+        weights = [0.5 / (2 ** i) for i in range(len(aux))][::-1]
+        for w, lg in zip(weights, aux):
+            extra = extra + w * loss(lg, batch["label"])
+        return extra
 
     if loss_name in ("BinaryLovaszLoss",):
         def loss_fn(outputs, batch):
             return loss(outputs["logits"][..., 0], batch["label"].astype(jnp.float32))
     else:
         def loss_fn(outputs, batch):
-            return loss(outputs["logits"], batch["label"])
+            return loss(outputs["logits"], batch["label"]) + _ds_extra(outputs, batch)
 
     if num_classes == 1:
         if accuracy_name == "dice":

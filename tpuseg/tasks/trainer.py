@@ -103,6 +103,16 @@ class Trainer:
 
         key = jax.random.key(0)
         self.state = make_train_state(params, tx.init(params), key)
+        # Multi-device placement: params/opt-state replicated (or channel-
+        # sharded over the model axis for large kernels); XLA inserts the
+        # gradient psum from the batch-axis input sharding.
+        if self.mesh.mesh.devices.size > 1:
+            from tpuseg.core.mesh import param_sharding_rule_fn
+
+            rule = param_sharding_rule_fn(self.mesh.mesh)
+            self.state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rule(x)), self.state
+            )
         self._train_step = None
         self._eval_step = None
 

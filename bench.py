@@ -78,13 +78,20 @@ def main():
         logits, probs = model.apply(params, patches.astype(jnp.bfloat16))
         return probs.astype(jnp.float32)
 
+    # NOTE timing methodology: on this stack jax.block_until_ready is
+    # unreliable (axon relay), so every measured loop ends with a host
+    # fetch of a scalar reduced from the result, which drains the queue.
     vol = np.random.default_rng(0).normal(size=VOL).astype(np.float32)
     # warmup / compile
-    probs = sliding_window_inference(vol, PATCH, apply_fn, NUM_CLASSES, BATCH)
+    mask = sliding_window_inference(
+        vol, PATCH, apply_fn, NUM_CLASSES, BATCH, return_mask=True
+    )
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        probs = sliding_window_inference(vol, PATCH, apply_fn, NUM_CLASSES, BATCH)
+        mask = sliding_window_inference(
+            vol, PATCH, apply_fn, NUM_CLASSES, BATCH, return_mask=True
+        )
     dt = (time.perf_counter() - t0) / reps
     vols_per_sec = 1.0 / dt
 
@@ -112,13 +119,12 @@ def main():
     }
     dev_batch = trainer._put(batch)
     state, m = trainer._train_step(trainer.state, dev_batch)  # compile
-    jax.block_until_ready(m["loss"])
-    # re-put because state was donated
+    _ = float(m["loss"])  # real sync (block_until_ready is a relay no-op)
     steps = 10
     t0 = time.perf_counter()
     for _ in range(steps):
         state, m = trainer._train_step(state, dev_batch)
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"])  # drain the queue before stopping the clock
     train_steps_per_sec = steps / (time.perf_counter() - t0)
 
     print(

@@ -19,3 +19,4 @@ from tpuseg.compat.resnet_models import (  # noqa: F401
     MutilResNet2dModel,
     MutilResNet3dModel,
 )
+from tpuseg.compat.gan_model import Pixel2PixelGAN2dModel  # noqa: F401

@@ -103,7 +103,14 @@ def _sliding_window_jit(
         return (acc, wacc), None
 
     (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), jnp.arange(n_batches))
-    return acc / jnp.maximum(wacc, 1e-7)
+    probs = acc / jnp.maximum(wacc, 1e-7)
+    # device-side hard mask: fetching uint8 labels instead of float probs
+    # cuts D2H volume ~8-16x (the relay link is the serving bottleneck)
+    if num_classes == 1:
+        mask = (probs[..., 0] > 0.5).astype(jnp.uint8)
+    else:
+        mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+    return probs, mask
 
 
 def sliding_window_inference(
@@ -113,17 +120,19 @@ def sliding_window_inference(
     num_classes: int,
     batch_size: int = 8,
     overlap: float = 0.5,
+    return_mask: bool = False,
 ):
     """Run `apply_fn` over a half-overlapping patch grid of `volume`
     ((D,H,W) or (D,H,W,C)) and return merged class probabilities
-    (D,H,W,num_classes)."""
+    (D,H,W,num_classes), or the uint8 label map if ``return_mask``
+    (computed on device — much cheaper to fetch)."""
     vol = np.asarray(volume, np.float32)
     if vol.ndim == 3:
         vol = vol[..., None]
     pad = [(0, max(p - s, 0)) for s, p in zip(vol.shape[:3], patch)] + [(0, 0)]
     padded = np.pad(vol, pad) if any(p[1] for p in pad) else vol
     positions = grid_positions(padded.shape[:3], patch, overlap)
-    probs = _sliding_window_jit(
+    probs, mask = _sliding_window_jit(
         jnp.asarray(padded),
         jnp.asarray(positions),
         apply_fn,
@@ -131,6 +140,9 @@ def sliding_window_inference(
         batch_size,
         num_classes,
     )
+    if return_mask:
+        out = np.asarray(mask)
+        return out[: vol.shape[0], : vol.shape[1], : vol.shape[2]]
     probs = np.asarray(probs)
     return probs[: vol.shape[0], : vol.shape[1], : vol.shape[2]]
 

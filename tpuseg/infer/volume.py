@@ -64,10 +64,10 @@ def infer_volume_patched(
     if hu_window is not None:
         upper, lower, method = hu_window
         arr = truncate_and_normalize(arr, upper, lower, method)
-    probs = sliding_window_inference(
-        arr, patch_dhw, apply_fn, num_classes, batch_size, overlap
+    mask = sliding_window_inference(
+        arr, patch_dhw, apply_fn, num_classes, batch_size, overlap,
+        return_mask=True,
     )
-    mask = probs_to_mask(probs, threshold)
     mask_vol = Volume(mask.astype(np.uint8))
     mask_vol.copy_geometry_from(work)
     if new_spacing_xyz is not None:

@@ -33,6 +33,11 @@ class ResNetClassifier(nn.Module):
         x = DownTransition(f * 4, self.ndim, 3, self.dropout)(x, train=train)
         x = DownTransition(f * 8, self.ndim, 3, self.dropout)(x, train=train)
         x = DownTransition(f * 16, self.ndim, 3, self.dropout)(x, train=train)
+        # Grad-CAM hook point: zero perturbation whose gradient is
+        # d(score)/d(feature-map) (flax's functional replacement for the
+        # reference's forward/backward hooks, `visualization.py:65-110`)
+        x = self.perturb("cam_features", x)
+        self.sow("intermediates", "cam_features", x)
         x = global_avg_pool(x, self.ndim)  # (N, 16f)
         x = nn.Dense(128, kernel_init=he_uniform())(x)
         x = nn.relu(x)

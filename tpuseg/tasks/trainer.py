@@ -188,26 +188,30 @@ class Trainer:
         t0 = time.time()
         for epoch in range(start_epoch, self.config.epochs):
             te = time.time()
-            tr_loss, tr_met, n = 0.0, 0.0, 0
-            first_outputs = None
+            # metrics accumulate as device scalars; ONE host fetch per epoch
+            tr_loss = tr_met = None
+            n = 0
             for batch in train_batches():
                 dev_batch = self._put(batch)
                 self.state, m = self._train_step(self.state, dev_batch)
-                tr_loss += float(m["loss"])
-                tr_met += float(m["metric"])
+                tr_loss = m["loss"] if tr_loss is None else tr_loss + m["loss"]
+                tr_met = m["metric"] if tr_met is None else tr_met + m["metric"]
                 n += 1
-            tr_loss, tr_met = tr_loss / max(n, 1), tr_met / max(n, 1)
+            tr_loss = float(tr_loss) / n if n else 0.0
+            tr_met = float(tr_met) / n if n else 0.0
 
-            va_loss, va_met, vn = 0.0, 0.0, 0
+            va_loss = va_met = None
+            vn = 0
             for i, batch in enumerate(val_batches()):
                 dev_batch = self._put(batch)
                 m = self._eval_step(self.state, dev_batch)
-                va_loss += float(m["loss"])
-                va_met += float(m["metric"])
+                va_loss = m["loss"] if va_loss is None else va_loss + m["loss"]
+                va_met = m["metric"] if va_met is None else va_met + m["metric"]
                 vn += 1
                 if i == 0 and self.viz_fn is not None:
                     self.viz_fn(model_dir, epoch, m["outputs"], batch)
-            va_loss, va_met = va_loss / max(vn, 1), va_met / max(vn, 1)
+            va_loss = float(va_loss) / vn if vn else 0.0
+            va_met = float(va_met) / vn if vn else 0.0
 
             history["train_loss"].append(tr_loss)
             history["train_accuracy"].append(tr_met)

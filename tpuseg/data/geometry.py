@@ -28,6 +28,22 @@ LINEAR = "linear"
 NEAREST = "nearest"
 
 
+def _resample_native(arr: np.ndarray, out_zyx, interp: str):
+    """C++ fast path (tpuseg.io_native); None → caller falls back to scipy."""
+    try:
+        from tpuseg import io_native
+
+        if arr.ndim != 3:
+            return None
+        if interp == LINEAR and arr.dtype == np.float32:
+            return io_native.resample_linear(arr, out_zyx)
+        if interp == NEAREST and arr.dtype == np.uint8:
+            return io_native.resample_nearest(arr, out_zyx)
+    except Exception:
+        pass
+    return None
+
+
 @dataclasses.dataclass
 class Volume:
     """A 3D image with ITK geometry. array is (z,y,x); geometry is (x,y,z)."""
@@ -99,22 +115,24 @@ def resample_to_size(
     new_spacing = np.asarray(vol.spacing, np.float64) * factor
 
     nz, ny, nx = int(new_xyz[2]), int(new_xyz[1]), int(new_xyz[0])
-    # output index grids in (z,y,x) order; input continuous index = i*factor
-    zz, yy, xx = np.meshgrid(
-        np.arange(nz) * factor[2],
-        np.arange(ny) * factor[1],
-        np.arange(nx) * factor[0],
-        indexing="ij",
-    )
-    order = 1 if interp == LINEAR else 0
-    data = ndimage.map_coordinates(
-        vol.array.astype(np.float32 if order else vol.array.dtype),
-        [zz, yy, xx],
-        order=order,
-        mode="nearest",
-    )
-    if order == 0:
-        data = data.astype(vol.array.dtype)
+    data = _resample_native(vol.array, (nz, ny, nx), interp)
+    if data is None:
+        # output index grids (z,y,x); input continuous index = i*factor
+        zz, yy, xx = np.meshgrid(
+            np.arange(nz) * factor[2],
+            np.arange(ny) * factor[1],
+            np.arange(nx) * factor[0],
+            indexing="ij",
+        )
+        order = 1 if interp == LINEAR else 0
+        data = ndimage.map_coordinates(
+            vol.array.astype(np.float32 if order else vol.array.dtype),
+            [zz, yy, xx],
+            order=order,
+            mode="nearest",
+        )
+        if order == 0:
+            data = data.astype(vol.array.dtype)
     out = Volume(
         data,
         origin=tuple(vol.origin),

@@ -68,7 +68,8 @@ def main():
     PATCH = (96, 96, 96)
     VOL = (160, 160, 192)  # KiPA-like CT after spacing resample
     NUM_CLASSES = 2
-    BATCH = 4
+    BATCH = 27  # the full 50%-overlap grid in one forward (sweep: 4->0.86,
+    #             9->1.09, 27->1.42 vols/s; bigger batch amortizes small-C convs)
     model = VNet(ndim=3, num_classes=NUM_CLASSES, features=16)
     x0 = jnp.zeros((1, *PATCH, 1), jnp.bfloat16)
     params = model.init(jax.random.key(0), x0)

@@ -1,0 +1,111 @@
+"""Runnable recipes — the tpuseg equivalent of `/root/reference/example.py`
+(11 train/inference recipes across Binary/Mutil × UNet/VNet × 2d/3d plus
+MNIST-style ResNet2d classification).
+
+Each recipe mirrors the reference entry of the same name; data paths are
+CSV manifests in the reference's formats (Image,Mask or label,path).
+Pass the recipe name and manifests:
+
+    python examples/recipes.py trainbinaryunet2d train.csv val.csv log/b2d
+    python examples/recipes.py trainmutilunet3d  train.csv val.csv log/m3d
+    python examples/recipes.py trainmutilresnet2d train.csv val.csv log/cls
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tpuseg.data.dataset import read_manifest_csv
+
+
+def _seg_model(cls, size, channels, classes, loss, batch):
+    return cls(*size, channels, classes, batch_size=batch, loss_name=loss)
+
+
+def trainbinaryunet2d(train_csv, val_csv, model_dir, epochs=50):
+    """`example.py` binary UNet2d, 512x512, dice+BCE."""
+    from tpuseg.compat import BinaryUNet2dModel
+
+    ti, tl = read_manifest_csv(train_csv)
+    vi, vl = read_manifest_csv(val_csv)
+    m = BinaryUNet2dModel(512, 512, 1, 1, 8, "BinaryCrossEntropyDiceLoss")
+    m.trainprocess(ti, tl, vi, vl, model_dir, epochs=epochs)
+
+
+def trainbinaryvnet2d(train_csv, val_csv, model_dir, epochs=50):
+    """`example.py:16` trainbinaryvnet2d."""
+    from tpuseg.compat import BinaryVNet2dModel
+
+    ti, tl = read_manifest_csv(train_csv)
+    vi, vl = read_manifest_csv(val_csv)
+    m = BinaryVNet2dModel(512, 512, 1, 1, 8, "BinaryDiceLoss")
+    m.trainprocess(ti, tl, vi, vl, model_dir, epochs=epochs)
+
+
+def trainmutilunet3d(train_csv, val_csv, model_dir, epochs=100):
+    """`train.py:13` KiPA2022: 112x112x128, 5 classes, MutilDiceLoss."""
+    from tpuseg.compat import MutilUNet3dModel
+
+    ti, tl = read_manifest_csv(train_csv)
+    vi, vl = read_manifest_csv(val_csv)
+    m = MutilUNet3dModel(128, 112, 112, 1, 5, 1, "MutilDiceLoss")
+    m.trainprocess(ti, tl, vi, vl, model_dir, epochs=epochs, showwind=[16, 8])
+
+
+def trainmutilvnet3d(train_csv, val_csv, model_dir, epochs=100):
+    """`example.py:118` Amos2022: 80x112x176, 16 classes."""
+    from tpuseg.compat import MutilVNet3dModel
+
+    ti, tl = read_manifest_csv(train_csv)
+    vi, vl = read_manifest_csv(val_csv)
+    m = MutilVNet3dModel(176, 112, 80, 1, 16, 1, "MutilDiceLoss")
+    m.trainprocess(ti, tl, vi, vl, model_dir, epochs=epochs, showwind=[16, 11])
+
+
+def trainbinaryvnet3d(train_csv, val_csv, model_dir, epochs=100):
+    from tpuseg.compat import BinaryVNet3dModel
+
+    ti, tl = read_manifest_csv(train_csv)
+    vi, vl = read_manifest_csv(val_csv)
+    m = BinaryVNet3dModel(96, 96, 96, 1, 1, 1, "BinaryDiceLoss")
+    m.trainprocess(ti, tl, vi, vl, model_dir, epochs=epochs, showwind=[12, 8])
+
+
+def trainmutilresnet2d(train_csv, val_csv, model_dir, epochs=50):
+    """`example.py:204` MNIST-style classification (label,path CSV)."""
+    import pandas as pd
+
+    from tpuseg.compat import MutilResNet2dModel
+
+    tdf, vdf = pd.read_csv(train_csv), pd.read_csv(val_csv)
+    m = MutilResNet2dModel(28, 28, 1, 10, 64, "MutilCrossEntropyLoss")
+    m.trainprocess(
+        list(tdf["path"]), list(tdf["label"]),
+        list(vdf["path"]), list(vdf["label"]), model_dir, epochs=epochs,
+    )
+
+
+def inferencebinaryvnet3d(model_dir, in_dir, out_dir):
+    """`example.py:172`: folder inference with a binary VNet3d."""
+    from tpuseg.compat import BinaryVNet3dModel
+    from tpuseg.data.nifti import read_nifti, write_nifti
+
+    m = BinaryVNet3dModel(96, 96, 96, 1, 1, 1, "BinaryDiceLoss",
+                          inference=True, model_path=model_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    for name in sorted(os.listdir(in_dir)):
+        if not name.endswith((".nii", ".nii.gz")):
+            continue
+        mask = m.inference(read_nifti(os.path.join(in_dir, name)), (96, 96, 96))
+        write_nifti(mask, os.path.join(out_dir, name.replace(".nii", "_mask.nii")))
+
+
+RECIPES = {
+    name: fn
+    for name, fn in list(globals().items())
+    if callable(fn) and (name.startswith("train") or name.startswith("inference"))
+}
+
+if __name__ == "__main__":
+    recipe = sys.argv[1]
+    RECIPES[recipe](*sys.argv[2:])

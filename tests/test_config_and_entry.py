@@ -1,0 +1,89 @@
+"""Tests: config CLI parsing + the train.py entry point end-to-end on a
+synthetic 3D npy dataset."""
+import json
+import os
+import tempfile
+
+import numpy as np
+
+from tpuseg.config import Config, parse_cli
+
+
+def test_config_defaults_and_overrides():
+    cfg = parse_cli([
+        "--model.name", "vnet3d",
+        "--model.num_classes", "5",
+        "--train.lr", "0.0005",
+        "--train.loss_name=MutilFocalLoss",
+        "--data.image_size", "[96,96,96]",
+        "--data.binary_labels", "true",
+        "--train.alpha", "[0.1,1,1,1,1]",
+    ])
+    assert cfg.model.name == "vnet3d"
+    assert cfg.model.num_classes == 5
+    assert cfg.train.lr == 0.0005
+    assert cfg.train.loss_name == "MutilFocalLoss"
+    assert cfg.data.image_size == (96, 96, 96)
+    assert cfg.data.binary_labels is True
+    assert cfg.train.alpha == [0.1, 1, 1, 1, 1]
+
+
+def test_config_json_roundtrip():
+    cfg = Config()
+    cfg.model.name = "stunet3d"
+    cfg.data.image_size = (64, 64)
+    text = cfg.to_json()
+    back = Config.from_json(text)
+    assert back.model.name == "stunet3d"
+    assert back.data.image_size == (64, 64)
+
+
+def test_config_file_plus_override(tmp_path):
+    cfg = Config()
+    cfg.train.epochs = 7
+    p = tmp_path / "c.json"
+    p.write_text(cfg.to_json())
+    out = parse_cli(["--config", str(p), "--train.epochs", "9"])
+    assert out.train.epochs == 9
+
+
+def test_train_entry_end_to_end(tmp_path):
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(6):
+        vol = rng.normal(size=(16, 16, 16)).astype(np.float32)
+        lab = np.zeros((16, 16, 16), np.uint8)
+        lab[4:12, 4:12, 4:12] = 1
+        vol[lab > 0] += 2.0
+        ip, mp = str(tmp_path / f"v{i}.npy"), str(tmp_path / f"m{i}.npy")
+        np.save(ip, vol)
+        np.save(mp, lab)
+        rows.append((ip, mp))
+    pd.DataFrame(rows[:4], columns=["Image", "Mask"]).to_csv(
+        tmp_path / "train.csv", index=False
+    )
+    pd.DataFrame(rows[4:], columns=["Image", "Mask"]).to_csv(
+        tmp_path / "val.csv", index=False
+    )
+
+    import examples.train as train_entry
+
+    model_dir = str(tmp_path / "run")
+    train_entry.main([
+        "--model.name", "unet3d",
+        "--model.num_classes", "2",
+        "--model.features", "8",
+        "--data.train_csv", str(tmp_path / "train.csv"),
+        "--data.val_csv", str(tmp_path / "val.csv"),
+        "--data.image_size", "[16,16,16]",
+        "--data.batch_size", "2",
+        "--train.epochs", "2",
+        "--train.loss_name", "MutilDiceLoss",
+        "--train.model_dir", model_dir,
+        "--train.mesh_data", "1",
+    ])
+    assert os.path.isfile(os.path.join(model_dir, "loss.png"))
+    assert os.path.isfile(os.path.join(model_dir, "config.json"))
+    assert os.path.isdir(os.path.join(model_dir, "best"))

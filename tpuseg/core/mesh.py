@@ -41,8 +41,9 @@ def make_mesh(
     if data == -1:
         assert n % (model * space) == 0, (n, model, space)
         data = n // (model * space)
-    assert data * model * space == n, (data, model, space, n)
-    arr = np.asarray(devices).reshape(data, model, space)
+    need = data * model * space
+    assert need <= n, (data, model, space, n)
+    arr = np.asarray(devices[:need]).reshape(data, model, space)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS, SPACE_AXIS))
 
 

@@ -120,12 +120,33 @@ class Trainer:
     def _build_steps(self):
         tx = self.tx
         apply_fn, loss_fn, metric_fn = self.apply_fn, self.loss_fn, self.metric_fn
+        compute_dtype = self.config.compute_dtype
+
+        def cast_for_compute(tree):
+            if compute_dtype == jnp.float32:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(compute_dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                tree,
+            )
 
         def train_step(state, batch):
             rng = step_key(jax.random.wrap_key_data(state["key"]), state["step"])
 
             def loss_of(params):
-                outputs = apply_fn(params, batch, True, rng)
+                # mixed precision: f32 master params, compute in
+                # config.compute_dtype (e.g. bf16 — TPU-native)
+                outputs = apply_fn(
+                    cast_for_compute(params), cast_for_compute(batch), True, rng
+                )
+                outputs = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32)
+                    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                    else x,
+                    outputs,
+                )
                 return loss_fn(outputs, batch), outputs
 
             (loss, outputs), grads = jax.value_and_grad(loss_of, has_aux=True)(

@@ -197,6 +197,15 @@ def morphological_operation(mask: np.ndarray, op: str, kernel_size: int = 3) -> 
     return out.astype(np.uint8)
 
 
+def calcu_dice(pred: np.ndarray, gt: np.ndarray) -> float:
+    """`dataprocess/utils.py:207` calcu_dice: plain binary dice of arrays."""
+    p = np.asarray(pred) != 0
+    g = np.asarray(gt) != 0
+    inter = float(np.logical_and(p, g).sum())
+    denom = float(p.sum() + g.sum())
+    return 2.0 * inter / denom if denom else 1.0
+
+
 def nonzero_z_range(mask: np.ndarray):
     """`dataprocess/utils.py:69` getRangImageRange: first/last nonzero z."""
     nz = np.flatnonzero(mask.reshape(mask.shape[0], -1).any(axis=1))

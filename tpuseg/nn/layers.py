@@ -37,6 +37,46 @@ def _tup(v, ndim: int) -> Tuple[int, ...]:
     return (v,) * ndim
 
 
+def space_to_depth(x, ndim: int, block: int = 2):
+    """(N, *S, C) -> (N, *S/b, b^n·C); channel order (d_1..d_n, c)."""
+    n = x.shape[0]
+    spatial = x.shape[1:1 + ndim]
+    c = x.shape[-1]
+    shape = [n]
+    for s in spatial:
+        shape += [s // block, block]
+    shape += [c]
+    x = x.reshape(shape)
+    # (n, s1, b1, s2, b2, ..., c) -> (n, s1, s2, ..., b1, b2, ..., c)
+    perm = [0] + [1 + 2 * i for i in range(ndim)] + [2 + 2 * i for i in range(ndim)] + [1 + 2 * ndim]
+    x = x.transpose(perm)
+    out_spatial = [s // block for s in spatial]
+    return x.reshape([n] + out_spatial + [(block ** ndim) * c])
+
+
+def depth_to_space(x, ndim: int, block: int = 2):
+    """(N, *S, b^n·C) -> (N, *S·b, C); inverse of space_to_depth."""
+    n = x.shape[0]
+    spatial = x.shape[1:1 + ndim]
+    c = x.shape[-1] // (block ** ndim)
+    x = x.reshape([n] + list(spatial) + [block] * ndim + [c])
+    # (n, s1.., b1.., c) -> (n, s1, b1, s2, b2, ..., c)
+    perm = [0]
+    for i in range(ndim):
+        perm += [1 + i, 1 + ndim + i]
+    perm += [1 + 2 * ndim]
+    x = x.transpose(perm)
+    return x.reshape([n] + [s * block for s in spatial] + [c])
+
+
+# Space↔depth GEMM reformulation of k=s=2 (transpose) convs.  MEASURED
+# NEGATIVE on this stack (v5e via axon): inference 784 vs 702 ms/vol,
+# train step 4.1 s vs 0.2 s — the d2s/s2d relayouts and their gradients
+# cost more than XLA's native strided/dilated conv lowering.  Kept as
+# opt-in infrastructure (exactness covered by tests) for future tuning.
+USE_GEMM_FASTPATH = False
+
+
 class ConvND(nn.Module):
     """channels-last conv over `ndim` spatial dims."""
 
@@ -48,16 +88,46 @@ class ConvND(nn.Module):
     use_bias: bool = True
     feature_group_count: int = 1
     kernel_dilation: Union[int, Sequence[int]] = 1
+    use_gemm_fastpath: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
+        ks = _tup(self.kernel_size, self.ndim)
+        st = _tup(self.strides, self.ndim)
+        fast = (
+            USE_GEMM_FASTPATH
+            if self.use_gemm_fastpath is None
+            else self.use_gemm_fastpath
+        )
+        # opt-in TPU path: a k=s=2 strided conv IS space_to_depth + a 1x1
+        # GEMM over 2^n-times-wider channels (exact reformulation)
+        if (
+            fast
+            and ks == st == (2,) * self.ndim
+            and self.feature_group_count == 1
+            and _tup(self.kernel_dilation, self.ndim) == (1,) * self.ndim
+            and all(s % 2 == 0 for s in x.shape[1:1 + self.ndim])
+        ):
+            kernel = self.param(
+                "kernel_s2d",
+                he_normal(),
+                ks + (x.shape[-1], self.features),
+            )
+            packed = space_to_depth(x, self.ndim, 2)
+            w = kernel.reshape((2 ** self.ndim) * x.shape[-1], self.features)
+            y = jnp.dot(packed, w)
+            if self.use_bias:
+                y = y + self.param(
+                    "bias_s2d", nn.initializers.zeros, (self.features,)
+                )
+            return y
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad)] * self.ndim
         return nn.Conv(
             features=self.features,
-            kernel_size=_tup(self.kernel_size, self.ndim),
-            strides=_tup(self.strides, self.ndim),
+            kernel_size=ks,
+            strides=st,
             padding=pad,
             use_bias=self.use_bias,
             feature_group_count=self.feature_group_count,
@@ -74,14 +144,45 @@ class ConvTransposeND(nn.Module):
     kernel_size: Union[int, Sequence[int]] = 2
     strides: Union[int, Sequence[int]] = 2
     use_bias: bool = True
+    use_gemm_fastpath: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
+        ks = _tup(self.kernel_size, self.ndim)
+        st = _tup(self.strides, self.ndim)
+        fast = (
+            USE_GEMM_FASTPATH
+            if self.use_gemm_fastpath is None
+            else self.use_gemm_fastpath
+        )
+        # opt-in TPU path: k=s=2 transpose conv IS a 1x1 GEMM to 2^n-times-
+        # wider channels + depth_to_space (exact: out[2i+d] = W_d @ x[i])
+        if fast and ks == st == (2,) * self.ndim:
+            c_in = x.shape[-1]
+            kernel = self.param(
+                "kernel_d2s", he_normal(), ks + (c_in, self.features)
+            )
+            # flax ConvTranspose places the spatially *flipped* kernel at
+            # each input position (out[2i+d] = x[i]·K[1-d]); flip so the
+            # fast path matches flax's parameterization exactly
+            kflip = kernel[(slice(None, None, -1),) * self.ndim]
+            w = (
+                kflip.reshape(-1, c_in, self.features)  # (b^n, in, out)
+                .transpose(1, 0, 2)
+                .reshape(c_in, (2 ** self.ndim) * self.features)
+            )
+            y = jnp.dot(x, w)  # (N, *S, b^n·out), channel order (d, out)
+            if self.use_bias:
+                bias = self.param(
+                    "bias_d2s", nn.initializers.zeros, (self.features,)
+                )
+                y = y + jnp.tile(bias, 2 ** self.ndim)
+            return depth_to_space(y, self.ndim, 2)
         return nn.ConvTranspose(
             features=self.features,
-            kernel_size=_tup(self.kernel_size, self.ndim),
-            strides=_tup(self.strides, self.ndim),
-            padding="VALID" if _tup(self.kernel_size, self.ndim) == _tup(self.strides, self.ndim) else "SAME",
+            kernel_size=ks,
+            strides=st,
+            padding="VALID" if ks == st else "SAME",
             use_bias=self.use_bias,
             kernel_init=he_normal(),
         )(x)

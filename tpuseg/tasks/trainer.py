@@ -265,6 +265,34 @@ class Trainer:
         manager.wait()
         return history
 
+    def fit_resilient(
+        self,
+        train_batches,
+        val_batches,
+        model_dir: str,
+        max_restarts: int = 3,
+        **kw,
+    ):
+        """Failure detection / elastic recovery (absent in the reference —
+        a crash there loses everything but the best .pth, SURVEY.md §5):
+        on any exception the run restarts from the `latest` checkpoint
+        (params + optimizer + step + PRNG), up to `max_restarts` times."""
+        attempt = 0
+        while True:
+            try:
+                return self.fit(
+                    train_batches, val_batches, model_dir,
+                    resume=(attempt > 0) or kw.pop("resume", False), **kw,
+                )
+            except KeyboardInterrupt:
+                raise
+            except Exception as e:
+                attempt += 1
+                if attempt > max_restarts:
+                    raise
+                print(f"[tpuseg] training failed ({type(e).__name__}: {e}); "
+                      f"restart {attempt}/{max_restarts} from latest checkpoint")
+
     # ------------------------------------------------------------- helpers
     def _put(self, batch):
         from tpuseg.core.mesh import shard_batch_pytree

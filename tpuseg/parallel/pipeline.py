@@ -42,7 +42,7 @@ def pipeline_apply(
         mesh=mesh,
         in_specs=(param_specs, P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def run(params_shard, mb):
         s = jax.lax.axis_index(axis)

@@ -80,7 +80,7 @@ def spatial_partition_infer(
         mesh=mesh,
         in_specs=P(SPACE_AXIS, None, None, None),
         out_specs=P(SPACE_AXIS, None, None, None),
-        check_rep=False,
+        check_vma=False,
     )
     def run(vol_shard):
         padded = halo_exchange(vol_shard, SPACE_AXIS, margin)

@@ -209,11 +209,11 @@ class Trainer:
         t0 = time.time()
         for epoch in range(start_epoch, self.config.epochs):
             te = time.time()
-            # metrics accumulate as device scalars; ONE host fetch per epoch
+            # metrics accumulate as device scalars; ONE host fetch per epoch.
+            # device transfer of batch i+1 overlaps step i (async dispatch).
             tr_loss = tr_met = None
             n = 0
-            for batch in train_batches():
-                dev_batch = self._put(batch)
+            for dev_batch in self._prefetch_put(train_batches()):
                 self.state, m = self._train_step(self.state, dev_batch)
                 tr_loss = m["loss"] if tr_loss is None else tr_loss + m["loss"]
                 tr_met = m["metric"] if tr_met is None else tr_met + m["metric"]
@@ -297,6 +297,18 @@ class Trainer:
     def _put(self, batch):
         from tpuseg.core.mesh import shard_batch_pytree
         return shard_batch_pytree(self.mesh.mesh, batch)
+
+    def _prefetch_put(self, batches):
+        """One-batch lookahead: device_put(i+1) is dispatched while step i
+        executes, hiding H2D behind compute."""
+        pending = None
+        for batch in batches:
+            nxt = self._put(batch)
+            if pending is not None:
+                yield pending
+            pending = nxt
+        if pending is not None:
+            yield pending
 
     def predict_batch(self, batch):
         if self._eval_step is None:

@@ -44,6 +44,20 @@ def test_sliding_window_identity_reconstruction(rng):
     np.testing.assert_allclose(out[..., 0], vol, atol=1e-5)
 
 
+def test_sliding_window_gaussian_identity(rng):
+    """Gaussian-weighted merge of an identity network still reconstructs
+    the volume exactly (weights normalize out)."""
+    vol = rng.random((40, 48, 40)).astype(np.float32)
+
+    def apply_fn(patches):
+        return patches
+
+    out = sliding_window_inference(
+        vol, (32, 32, 32), apply_fn, 1, batch_size=4, gaussian=True
+    )
+    np.testing.assert_allclose(out[..., 0], vol, atol=1e-4)
+
+
 def test_sliding_window_small_volume_pads(rng):
     vol = rng.random((20, 20, 20)).astype(np.float32)
 

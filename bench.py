@@ -96,6 +96,21 @@ def main():
     dt = (time.perf_counter() - t0) / reps
     vols_per_sec = 1.0 / dt
 
+    # ---------------- whole-volume mode (TPU-native: 16 GB HBM fits the
+    # full volume, skipping the patch grid's ~4.9x compute redundancy; the
+    # reference is locked to patches by GPU memory) ------------------------
+    @jax.jit
+    def whole_volume_mask(params, v):
+        _, probs = model.apply(params, v.astype(jnp.bfloat16))
+        return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+
+    dev_vol = jax.device_put(jnp.asarray(vol[None, ..., None]))
+    _ = np.asarray(whole_volume_mask(params, dev_vol))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        wv = np.asarray(whole_volume_mask(params, dev_vol))
+    whole_vols_per_sec = reps / (time.perf_counter() - t0)
+
     n_patches = len(grid_positions(VOL, PATCH, 0.5))
     flops_per_vol = vnet3d_fwd_flops(96, 16, NUM_CLASSES) * n_patches
     a100_effective_flops = 25e12  # modeled: A100 torch conv3d fp32/TF32
@@ -137,6 +152,7 @@ def main():
                 "vs_baseline": round(vols_per_sec / baseline_vols_per_sec, 3),
                 "extra": {
                     "platform": platform,
+                    "whole_volume_vols_per_sec": round(whole_vols_per_sec, 4),
                     "patches_per_volume": int(n_patches),
                     "unet3d_train_steps_per_sec_112x112x128_bs1": round(
                         train_steps_per_sec, 4

@@ -150,6 +150,7 @@ class _SegModelBase:
         print("[INFO] training the network...")
         os.makedirs(model_dir, exist_ok=True)
         trainer = self._ensure_trainer(epochs, lr)
+        trainer.viz_fn = make_seg_viz(self.numclass, self.ndim, tuple(showwind))
         train_loader = self._dataloader(trainimage, trainmask, shuffle=True)
         val_loader = self._dataloader(validationimage, validationmask, shuffle=False)
         history = trainer.fit(
@@ -186,11 +187,29 @@ class _SegModelBase:
         )
 
     def predict(self, full_img: np.ndarray, out_threshold: float = 0.5) -> np.ndarray:
-        """channel-first (C, *spatial) in → uint8 (*spatial) label map out."""
+        """channel-first (C, *spatial) in → uint8 (*spatial) label map out.
+
+        The threshold/argmax runs on device and only the uint8 mask is
+        fetched (the reference pulls the full float probability volume to
+        host first, `modelUnet.py:963-966`)."""
+        self._ensure_trainer()
+        if getattr(self, "_jit_mask_fwd", None) is None:
+            model, numclass = self.model, self.numclass
+
+            @jax.jit
+            def fwd_mask(params, x, thr):
+                _, probs = model.apply(params, x)
+                if numclass == 1:
+                    return (probs[..., 0] > thr).astype(jnp.uint8)
+                return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+
+            self._jit_mask_fwd = fwd_mask
         img = np.asarray(full_img, np.float32)
         img = np.moveaxis(img, 0, -1)[None]  # (1, *spatial, C)
-        probs = self._forward_probs(img)[0]
-        return probs_to_mask(probs, out_threshold)
+        mask = self._jit_mask_fwd(
+            self.trainer.state["params"], jnp.asarray(img), out_threshold
+        )
+        return np.asarray(mask)[0]
 
     def clear_GPU_cache(self):
         # No-op on TPU: XLA owns HBM for the process (the reference calls

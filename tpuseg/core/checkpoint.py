@@ -71,6 +71,25 @@ def exists(path: str) -> bool:
     return os.path.isfile(os.path.join(path, "state.msgpack"))
 
 
+def save_sharded(path: str, state: Any) -> None:
+    """Orbax-backed sharded save: each host writes its own array shards —
+    the multi-host/TPU-pod path (our msgpack format gathers to host 0).
+    Restore with ``restore_sharded``; resharding onto a different mesh
+    happens at device_put time."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_sharded(path: str, target: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=target)
+
+
 class CheckpointManager:
     """Best + latest retention with async background writes."""
 

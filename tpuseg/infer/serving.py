@@ -165,6 +165,37 @@ class SegServer:
         )
         return [payload]
 
+    def as_flask_app(self):
+        """If flask is installed in the deployment image, wrap the same
+        endpoints in a real flask app (`flask_app.py` drop-in); raises
+        ImportError otherwise — the WSGI server below needs nothing."""
+        from flask import Flask, request, send_file  # gated import
+
+        app = Flask("tpuseg")
+
+        @app.route("/predict", methods=["POST"])
+        def predict():
+            f = request.files["file"]
+            path = os.path.join(self.upload_dir, os.path.basename(f.filename))
+            f.save(path)
+            from tpuseg.data.nifti import read_nifti, write_nifti
+
+            vol = read_nifti(path)
+            with self._lock:
+                mask = self.model.inference(vol, self.new_size)
+            out_name = os.path.basename(path).replace(".nii", "_mask.nii")
+            write_nifti(mask, os.path.join(self.result_dir, out_name))
+            return {"message": "Segmentation Success!", "result": out_name}
+
+        @app.route("/getresult", methods=["GET"])
+        def getresult():
+            name = os.path.basename(request.args["file"])
+            return send_file(
+                os.path.join(self.result_dir, name), as_attachment=True
+            )
+
+        return app
+
     def run(self, host: str = "0.0.0.0", port: int = 8000):
         """Blocking threaded server (`flask_app.py:62` equivalent)."""
         from wsgiref.simple_server import WSGIServer, WSGIRequestHandler, make_server

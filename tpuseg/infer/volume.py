@@ -41,6 +41,62 @@ def infer_volume(
     return final
 
 
+_DEVICE_INFER_CACHE: dict = {}
+
+
+def infer_volume_device(
+    vol: Volume,
+    model,
+    params,
+    new_size_xyz: Sequence[int],
+    num_classes: int,
+    normalizer: str = "percentile",
+    hu_window: Optional[tuple] = None,
+    threshold: float = 0.5,
+) -> Volume:
+    """Whole-volume inference with the ENTIRE pipeline in one jit:
+    device resize (ITK semantics) → normalize → forward → threshold/argmax
+    → nearest resize back — the host only ships the raw volume up and the
+    uint8 mask down.  Compiled per (in_shape, out_size) bucket."""
+    from tpuseg.kernels.normalize import (
+        percentile_zscore_device,
+        truncate_and_normalize_device,
+    )
+    from tpuseg.kernels.resample import resize_volume_device
+
+    sx, sy, sz = new_size_xyz
+    in_shape = vol.array.shape
+    key = (id(model), in_shape, tuple(new_size_xyz), normalizer, hu_window)
+    if key not in _DEVICE_INFER_CACHE:
+        import jax
+
+        @jax.jit
+        def run(params, raw):
+            x = resize_volume_device(raw, (sz, sy, sx), "linear")
+            if normalizer == "percentile":
+                x = percentile_zscore_device(x)
+            elif normalizer == "hu":
+                up, lo, method = hu_window
+                x = truncate_and_normalize_device(x, up, lo, method)
+            _, probs = model.apply(params, x[None, ..., None])
+            if num_classes == 1:
+                mask = (probs[0, ..., 0] > threshold).astype(np.uint8)
+            else:
+                import jax.numpy as jnp
+
+                mask = jnp.argmax(probs[0], axis=-1).astype(np.uint8)
+            return resize_volume_device(
+                mask.astype(np.float32), in_shape, "nearest"
+            ).astype(np.uint8)
+
+        _DEVICE_INFER_CACHE[key] = run
+
+    mask = np.asarray(_DEVICE_INFER_CACHE[key](params, vol.array.astype(np.float32)))
+    out = Volume(mask)
+    out.copy_geometry_from(vol)
+    return out
+
+
 def infer_volume_patched(
     vol: Volume,
     apply_fn: Callable,  # (N, *patch, C) -> (N, *patch, num_classes) probs

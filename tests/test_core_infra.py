@@ -84,3 +84,71 @@ def test_step_key_deterministic_and_distinct():
     k2 = step_key(base, jnp.asarray(2, jnp.int32))
     assert jnp.all(jax.random.key_data(k1) == jax.random.key_data(k1b))
     assert not jnp.all(jax.random.key_data(k1) == jax.random.key_data(k2))
+
+def test_dataloader_prefetch_propagates_errors():
+    """ADVICE r1: a failing __getitem__ must raise in the consumer, not
+    silently truncate the epoch."""
+    import pytest
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise IOError("unreadable file")
+            return {"v": np.asarray([i])}
+
+    loader = DataLoader(Bad(), batch_size=2, shuffle=False, prefetch=2)
+    with pytest.raises(IOError, match="unreadable"):
+        for _ in loader:
+            pass
+
+
+def test_dataloader_prefetch_early_exit_terminates_producer():
+    """Breaking out of the iterator must not leave the producer thread
+    blocked on the queue."""
+    import threading
+
+    ds = ArrayDataset([{"v": np.asarray([i])} for i in range(64)])
+    loader = DataLoader(ds, batch_size=2, shuffle=False, prefetch=1)
+    it = iter(loader)
+    next(it)
+    it.close()  # generator finalization = consumer early exit
+    deadline = 50
+    while deadline and any(
+        t.name.startswith("Thread") and "producer" in repr(t)
+        for t in threading.enumerate()
+    ):
+        deadline -= 1
+    # a fresh full epoch still works after the aborted one
+    assert sum(1 for _ in loader) == 32
+
+
+def test_checkpoint_save_never_loses_both_copies(tmp_path):
+    """ADVICE r1: crash between rmtree and replace lost old+new 'latest'.
+    The swap now renames aside; the .old fallback restores through a
+    simulated crash window."""
+    import shutil
+
+    p = str(tmp_path / "latest")
+    ckpt.save(p, {"w": jnp.asarray([1.0])}, {"step": 1})
+    ckpt.save(p, {"w": jnp.asarray([2.0])}, {"step": 2})
+    assert ckpt.exists(p)
+    got = ckpt.restore(p, {"w": jnp.zeros(1)})
+    np.testing.assert_array_equal(np.asarray(got["w"]), [2.0])
+    # simulate a crash after the old dir was moved aside but before the
+    # new one swung in: primary missing, .old present
+    shutil.move(p, p + ".old")
+    assert ckpt.exists(p)
+    got = ckpt.restore(p, {"w": jnp.zeros(1)})
+    np.testing.assert_array_equal(np.asarray(got["w"]), [2.0])
+    assert ckpt.read_meta(p)["step"] == 2
+
+
+def test_psnr_finite_on_zero_mse():
+    from tpuseg.metrics.online import psnr
+
+    x = jnp.ones((2, 16))
+    v = float(psnr(x, x))
+    assert np.isfinite(v) and v > 60.0

@@ -64,19 +64,40 @@ def test_spatial_partition_identity():
 
 def test_spatial_partition_conv_exact_with_sufficient_margin():
     """A depth-3 mean filter has receptive radius 1: margin>=1 must make the
-    z-sharded result match the single-device result exactly."""
+    z-sharded result match the single-device SAME (zero-pad) conv exactly —
+    including the global volume ends (boundary="zero" halo)."""
     mesh = make_mesh(data=1, model=1, space=8)
     rng = np.random.default_rng(1)
     vol = rng.random((32, 8, 8, 1)).astype(np.float32)
     k = jnp.ones((3, 1, 1, 1, 1), jnp.float32) / 3.0
 
-    def conv(x):  # (D,H,W,C) SAME depth-conv, edge-replicate padding
-        xp = jnp.concatenate([x[:1], x, x[-1:]], axis=0)
+    def conv(x):  # (D,H,W,C) SAME depth-conv (zero padding)
         return jax.lax.conv_general_dilated(
-            xp[None], k, (1, 1, 1), "VALID",
+            x[None], k, (1, 1, 1), "SAME",
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         )[0]
 
     expect = np.asarray(conv(jnp.asarray(vol)))
     got = np.asarray(spatial_partition_infer(vol, conv, mesh, margin=1))
+    np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_spatial_partition_replicate_boundary():
+    """boundary="replicate" matches a conv whose input is edge-replicated."""
+    mesh = make_mesh(data=1, model=1, space=8)
+    rng = np.random.default_rng(2)
+    vol = rng.random((16, 8, 8, 1)).astype(np.float32)
+    k = jnp.ones((3, 1, 1, 1, 1), jnp.float32) / 3.0
+
+    def conv_valid(x):
+        return jax.lax.conv_general_dilated(
+            x[None], k, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )[0]
+
+    xp = jnp.concatenate([jnp.asarray(vol)[:1], jnp.asarray(vol), jnp.asarray(vol)[-1:]], axis=0)
+    expect = np.asarray(conv_valid(xp))[1:-1]
+    got = np.asarray(
+        spatial_partition_infer(vol, conv_valid, mesh, margin=1, boundary="replicate")
+    )
     np.testing.assert_allclose(got, expect, atol=1e-6)

@@ -47,28 +47,42 @@ def save(path: str, state: Any, meta: Optional[dict] = None) -> None:
             f.write(payload)
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(meta or {}, f, indent=2, default=float)
+        # never a window with neither old nor new checkpoint on disk:
+        # move the old one aside, swing the new one in, then delete
+        old = path + ".old"
         if os.path.isdir(path):
-            shutil.rmtree(path)
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(path, old)
         os.replace(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
 
 
+def _resolve(path: str) -> str:
+    """Fall back to the `.old` copy if a crash hit the save()'s swap window."""
+    if not os.path.isfile(os.path.join(path, "state.msgpack")) and os.path.isfile(
+        os.path.join(path + ".old", "state.msgpack")
+    ):
+        return path + ".old"
+    return path
+
+
 def restore(path: str, target: Any) -> Any:
     """Restore into the structure of `target` (a template train state)."""
-    with open(os.path.join(path, "state.msgpack"), "rb") as f:
+    with open(os.path.join(_resolve(path), "state.msgpack"), "rb") as f:
         payload = f.read()
     return serialization.from_bytes(target, payload)
 
 
 def read_meta(path: str) -> dict:
-    with open(os.path.join(path, "meta.json")) as f:
+    with open(os.path.join(_resolve(path), "meta.json")) as f:
         return json.load(f)
 
 
 def exists(path: str) -> bool:
-    return os.path.isfile(os.path.join(path, "state.msgpack"))
+    return os.path.isfile(os.path.join(_resolve(path), "state.msgpack"))
 
 
 def save_sharded(path: str, state: Any) -> None:

@@ -241,22 +241,38 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()
 
         def producer():
             try:
                 for chunk in batches:
+                    if cancel.is_set():
+                        break
                     q.put(self._make_batch(chunk))
-            finally:
                 q.put(stop)
+            except BaseException as e:  # surfaced in the consumer below
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # early consumer exit: unblock a producer stuck on q.put and
+            # drain until it terminates, so the thread never leaks
+            cancel.set()
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    t.join(timeout=0.05)
+            t.join()
 
     def _make_batch(self, chunk):
         batch = _collate([self.dataset[int(i)] for i in chunk])

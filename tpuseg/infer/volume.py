@@ -66,7 +66,13 @@ def infer_volume_device(
 
     sx, sy, sz = new_size_xyz
     in_shape = vol.array.shape
-    key = (id(model), in_shape, tuple(new_size_xyz), normalizer, hu_window)
+    # key covers everything baked into the jitted closure: model config
+    # (repr is the full flax dataclass spec — stable, unlike id() which can
+    # be reused after GC), shapes, normalizer, num_classes and threshold
+    key = (
+        repr(model), in_shape, tuple(new_size_xyz), normalizer, hu_window,
+        int(num_classes), float(threshold),
+    )
     if key not in _DEVICE_INFER_CACHE:
         import jax
 

@@ -109,4 +109,6 @@ def psnr(pred, target, mean=None, std=None):
         m = jnp.zeros((n, 1), jnp.float32)
     mse_b = jnp.mean((p * s - t * s) ** 2, axis=1)
     peak = jnp.max(t * s + m, axis=1)
-    return jnp.mean(10.0 * jnp.log10(peak ** 2 / mse_b + EPS))
+    # EPS inside the division: a zero-MSE batch gives a large finite PSNR
+    # instead of inf poisoning the epoch mean used for best-ckpt selection
+    return jnp.mean(10.0 * jnp.log10(peak ** 2 / (mse_b + EPS)))

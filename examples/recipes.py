@@ -1,6 +1,7 @@
 """Runnable recipes — the tpuseg equivalent of `/root/reference/example.py`
-(11 train/inference recipes across Binary/Mutil × UNet/VNet × 2d/3d plus
-MNIST-style ResNet2d classification).
+(all 13 of its train/inference recipes across Binary/Mutil × UNet/VNet ×
+2d/3d plus MNIST-style ResNet2d classification, same names, plus GAN and
+registration recipes the reference's example.py lacks).
 
 Each recipe mirrors the reference entry of the same name; data paths are
 CSV manifests in the reference's formats (Image,Mask or label,path).
@@ -40,6 +41,36 @@ def trainbinaryvnet2d(train_csv, val_csv, model_dir, epochs=50):
     vi, vl = read_manifest_csv(val_csv)
     m = BinaryVNet2dModel(512, 512, 1, 1, 8, "BinaryDiceLoss")
     m.trainprocess(ti, tl, vi, vl, model_dir, epochs=epochs)
+
+
+def trainmutilunet2d(train_csv, val_csv, model_dir, epochs=50):
+    """`example.py:61` trainmutilunet2d: 512x512, 2 classes, MutilDiceLoss."""
+    from tpuseg.compat import MutilUNet2dModel
+
+    ti, tl = read_manifest_csv(train_csv)
+    vi, vl = read_manifest_csv(val_csv)
+    m = MutilUNet2dModel(512, 512, 1, 2, 8, "MutilDiceLoss")
+    m.trainprocess(ti, tl, vi, vl, model_dir, epochs=epochs)
+
+
+def trainmutilvnet2d(train_csv, val_csv, model_dir, epochs=50):
+    """`example.py:46` trainmutilvnet2d: 512x512, 2 classes, MutilDiceLoss."""
+    from tpuseg.compat import MutilVNet2dModel
+
+    ti, tl = read_manifest_csv(train_csv)
+    vi, vl = read_manifest_csv(val_csv)
+    m = MutilVNet2dModel(512, 512, 1, 2, 8, "MutilDiceLoss")
+    m.trainprocess(ti, tl, vi, vl, model_dir, epochs=epochs)
+
+
+def trainbinaryunet3d(train_csv, val_csv, model_dir, epochs=100):
+    """`example.py:92` trainbinaryunet3d."""
+    from tpuseg.compat import BinaryUNet3dModel
+
+    ti, tl = read_manifest_csv(train_csv)
+    vi, vl = read_manifest_csv(val_csv)
+    m = BinaryUNet3dModel(96, 96, 96, 1, 1, 1, "BinaryDiceLoss")
+    m.trainprocess(ti, tl, vi, vl, model_dir, epochs=epochs, showwind=[12, 8])
 
 
 def trainmutilunet3d(train_csv, val_csv, model_dir, epochs=100):
@@ -127,19 +158,69 @@ def trainregistration3d(train_csv, val_csv, model_dir, epochs=100):
     trainer.fit(lambda: iter(train), lambda: iter(val), model_dir)
 
 
-def inferencebinaryvnet3d(model_dir, in_dir, out_dir):
-    """`example.py:172`: folder inference with a binary VNet3d."""
-    from tpuseg.compat import BinaryVNet3dModel
+def inferencebinaryvnet2d(model_dir, in_csv, out_dir):
+    """`example.py:140`: per-image 2D inference, masks written as png."""
+    import cv2
+
+    from tpuseg.compat import BinaryVNet2dModel
+
+    images, _ = read_manifest_csv(in_csv)
+    m = BinaryVNet2dModel(512, 512, 1, 1, 8, "BinaryDiceLoss",
+                          inference=True, model_path=model_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    for index, path in enumerate(images):
+        mask = m.inference(cv2.imread(path, 0))
+        cv2.imwrite(os.path.join(out_dir, f"{index}.png"), mask * 255)
+
+
+def inferencemutilvnet2d(model_dir, in_csv, out_dir):
+    """`example.py:156`: per-image 2D multiclass inference."""
+    import cv2
+
+    from tpuseg.compat import MutilVNet2dModel
+
+    images, _ = read_manifest_csv(in_csv)
+    m = MutilVNet2dModel(512, 512, 1, 2, 8, "MutilDiceLoss",
+                         inference=True, model_path=model_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    for index, path in enumerate(images):
+        mask = m.inference(cv2.imread(path, 0))
+        cv2.imwrite(os.path.join(out_dir, f"{index}.png"), mask)
+
+
+def _folder_inference_3d(model, in_dir, out_dir, new_size_xyz):
     from tpuseg.data.nifti import read_nifti, write_nifti
 
-    m = BinaryVNet3dModel(96, 96, 96, 1, 1, 1, "BinaryDiceLoss",
-                          inference=True, model_path=model_dir)
     os.makedirs(out_dir, exist_ok=True)
     for name in sorted(os.listdir(in_dir)):
         if not name.endswith((".nii", ".nii.gz")):
             continue
-        mask = m.inference(read_nifti(os.path.join(in_dir, name)), (96, 96, 96))
+        mask = model.inference(read_nifti(os.path.join(in_dir, name)), new_size_xyz)
         write_nifti(mask, os.path.join(out_dir, name.replace(".nii", "_mask.nii")))
+
+
+def inferencebinaryvnet3d(model_dir, in_dir, out_dir):
+    """`example.py:172`: Amos2022 folder inference, binary VNet3d at
+    80x112x176 (newSize xyz = 176,112,80)."""
+    from tpuseg.compat import BinaryVNet3dModel
+
+    m = BinaryVNet3dModel(80, 112, 176, 1, 1, 1, "BinaryDiceLoss",
+                          inference=True, model_path=model_dir)
+    _folder_inference_3d(m, in_dir, out_dir, (176, 112, 80))
+
+
+def inferencemutilvnet3d(model_dir, in_dir, out_dir):
+    """`example.py:188`: Amos2022 folder inference, 16-class VNet3d."""
+    from tpuseg.compat import MutilVNet3dModel
+
+    m = MutilVNet3dModel(80, 112, 176, 1, 16, 1, "MutilFocalLoss",
+                         inference=True, model_path=model_dir)
+    _folder_inference_3d(m, in_dir, out_dir, (176, 112, 80))
+
+
+# the reference spells this one with capital RN (`example.py:204`)
+def trainmutilResNet2d(*args, **kw):
+    return trainmutilresnet2d(*args, **kw)
 
 
 RECIPES = {

@@ -52,3 +52,15 @@ def test_gan_compat_model(rng):
     assert -1.001 <= out.min() and out.max() <= 1.001
     full = model.inference((rng.random((48, 40)) * 255).astype(np.float32))
     assert full.shape == (48, 40)
+
+
+def test_compat_grad_cam_visual():
+    """`modelResNet.py:419-426` parity: the public Grad_CAM_Visual method on
+    MutilResNet2dModel returns a [0,1] CAM at input resolution."""
+    from tpuseg.compat import MutilResNet2dModel
+
+    m = MutilResNet2dModel(32, 32, 1, 4, 2, "MutilCrossEntropyLoss")
+    img = np.random.default_rng(0).normal(size=(1, 32, 32)).astype(np.float32)
+    cam = m.Grad_CAM_Visual(img, target_category=1, target_layers=None)
+    assert cam.shape == (32, 32)
+    assert float(cam.min()) >= 0.0 and float(cam.max()) <= 1.0 + 1e-6

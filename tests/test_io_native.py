@@ -1,4 +1,5 @@
 """Tests for the C++ io_native extension (built on demand with g++)."""
+import os
 import numpy as np
 import pytest
 
@@ -60,3 +61,40 @@ def test_geometry_uses_native_path(rng):
     # constant field stays constant through either path
     const = resample_to_size(Volume(np.full((8, 8, 8), 2.0, np.float32)), (12, 12, 12))
     np.testing.assert_allclose(const.array, 2.0, atol=1e-6)
+
+
+def test_nifti_native_codec_matches_python():
+    """The C++ codec (nifti_read_bytes/nifti_write_bytes) and the pure
+    Python path must read/write identical volumes, .nii and .nii.gz."""
+    import tempfile
+
+    import tpuseg.data.nifti as nifti_mod
+    from tpuseg import io_native
+    from tpuseg.data.geometry import Volume
+    from tpuseg.data.nifti import read_nifti, write_nifti
+
+    if not io_native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(3)
+    for suffix in (".nii", ".nii.gz"):
+        arr = (rng.normal(size=(10, 12, 14)) * 50).astype(np.float32)
+        v = Volume(arr, origin=(1.0, -2.0, 3.0), spacing=(0.7, 0.8, 0.9))
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "vol" + suffix)
+            write_nifti(v, p)  # native write
+            back_native = read_nifti(p)  # native read
+            orig = nifti_mod._native
+            nifti_mod._native = lambda: None
+            try:
+                back_py = read_nifti(p)  # python read of native-written file
+                p2 = os.path.join(d, "vol_py" + suffix)
+                write_nifti(v, p2)  # python write
+            finally:
+                nifti_mod._native = orig
+            back_native2 = read_nifti(p2)  # native read of python-written file
+            for b in (back_native, back_py, back_native2):
+                np.testing.assert_allclose(b.array, arr)
+                np.testing.assert_allclose(b.spacing, v.spacing, atol=1e-6)

@@ -131,6 +131,19 @@ class _ResNetModelBase:
         probs = e / e.sum()
         return int(np.argmax(probs)), probs
 
+    def Grad_CAM_Visual(self, full_img, target_category=None, target_layers=None):
+        """`modelResNet.py:419-426`: grayscale class-activation map at input
+        resolution for a channel-first image.  ``target_layers`` is accepted
+        for signature parity only — tpuseg's ResNetClassifier always sows its
+        last conv feature map (the reference passes that same layer)."""
+        from tpuseg.tools.gradcam import grad_cam
+
+        self._ensure_trainer()
+        img = np.moveaxis(np.asarray(full_img, np.float32), 0, -1)[None]
+        return grad_cam(
+            self.model, self.trainer.state["params"], img, target_category
+        )
+
     def clear_GPU_cache(self):
         pass
 

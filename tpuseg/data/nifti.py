@@ -9,8 +9,12 @@ raw voxels, optionally gzip).
 Geometry is converted between NIfTI's RAS+ affine and tpuseg's ITK-style
 LPS origin/spacing/direction (negate the first two affine rows), so masks
 written here carry the same physical geometry the reference pipeline
-produces.  A faster C++ codec with the same wire format lives in
-tpuseg.io_native and is used automatically when built.
+produces.  The bulk data path (gzip stream decode/encode of the voxel
+payload, the expensive part for 100MB+ volumes) is implemented natively in
+C++ (`tpuseg/io_native/native.cc` nifti_read_bytes / nifti_write_bytes)
+and used automatically when built — it streams straight into the numpy
+buffer instead of materializing the whole decompressed file in Python.
+The 348-byte header math lives here in one place either way.
 """
 from __future__ import annotations
 
@@ -43,10 +47,30 @@ def _open(path: str, mode: str):
     return open(path, mode)
 
 
+def _native():
+    """The C++ codec module, or None when the toolchain is unavailable."""
+    try:
+        from tpuseg import io_native
+
+        if io_native.available():
+            return io_native
+    except Exception:
+        pass
+    return None
+
+
 def read_nifti(path: str) -> Volume:
+    nat = _native()
+    if nat is not None:
+        hdr = bytes(nat.nifti_read_bytes(str(path), 0, _HDR_SIZE))
+        if len(hdr) == _HDR_SIZE:
+            return _parse_volume(path, hdr, nat)
     with _open(path, "rb") as f:
         raw = f.read()
-    hdr = raw[:_HDR_SIZE]
+    return _parse_volume(path, raw[:_HDR_SIZE], None, raw)
+
+
+def _parse_volume(path, hdr: bytes, nat, raw: bytes = b"") -> Volume:
     sizeof_hdr = struct.unpack_from("<i", hdr, 0)[0]
     if sizeof_hdr != _HDR_SIZE:
         # try big-endian
@@ -68,9 +92,15 @@ def read_nifti(path: str) -> Volume:
         raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
     dt = np.dtype(_DT_TO_NUMPY[datatype])
     count = nx * ny * nz
-    data = np.frombuffer(
-        raw, dtype=dt, count=count, offset=vox_offset
-    ).reshape(nz, ny, nx)  # x-fastest on disk
+    if nat is not None:
+        buf = nat.nifti_read_bytes(str(path), vox_offset, count * dt.itemsize)
+        if buf.size != count * dt.itemsize:
+            raise ValueError(f"{path}: truncated voxel payload")
+        data = buf.view(dt).reshape(nz, ny, nx)  # x-fastest on disk
+    else:
+        data = np.frombuffer(
+            raw, dtype=dt, count=count, offset=vox_offset
+        ).reshape(nz, ny, nx)
 
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
         slope = scl_slope if scl_slope != 0 else 1.0
@@ -161,9 +191,14 @@ def write_nifti(vol: Volume, path: str) -> None:
     struct.pack_into("<4f", hdr, 312, *aff[2])
     hdr[344:348] = b"n+1\x00"
 
+    header = bytes(hdr) + b"\x00" * 4  # no extensions
+    nat = _native()
+    if nat is not None:
+        level = 6 if str(path).endswith(".gz") else 0
+        nat.nifti_write_bytes(str(path), header, arr, level)
+        return
     with _open(path, "wb") as f:
-        f.write(bytes(hdr))
-        f.write(b"\x00" * 4)  # no extensions
+        f.write(header)
         f.write(arr.tobytes())
 
 

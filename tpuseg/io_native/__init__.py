@@ -38,7 +38,7 @@ def _load():
             try:
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-o", _LIB_PATH, _SRC],
+                     "-o", _LIB_PATH, _SRC, "-lz"],
                     check=True, capture_output=True, timeout=300,
                 )
             except Exception as e:
@@ -53,6 +53,11 @@ def _load():
         lib.resample_nearest_u8.argtypes = [u8p, i64, i64, i64, u8p, i64, i64, i64, f64, f64, f64]
         lib.nn_distances.argtypes = [dp, i64, dp, i64, dp]
         lib.percentile_zscore_f32.argtypes = [fp, i64, f64, f64]
+        cstr, u8raw = ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8)
+        lib.nifti_read_bytes.argtypes = [cstr, i64, i64, u8raw]
+        lib.nifti_read_bytes.restype = i64
+        lib.nifti_write_bytes.argtypes = [cstr, u8raw, i64, u8raw, i64, ctypes.c_int]
+        lib.nifti_write_bytes.restype = i64
         _lib = lib
         return lib
 
@@ -105,3 +110,32 @@ def percentile_zscore(arr: np.ndarray, lower=5.0, upper=95.0) -> np.ndarray:
     data = np.ascontiguousarray(arr, np.float32).copy()
     lib.percentile_zscore_f32(data.reshape(-1), data.size, lower, upper)
     return data
+
+
+def nifti_read_bytes(path: str, offset: int, count: int) -> np.ndarray:
+    """Decompressed byte range of a .nii/.nii.gz file, streamed by the C++
+    codec straight into a fresh numpy buffer (no intermediate copy)."""
+    lib = _load()
+    out = np.empty(count, np.uint8)
+    got = lib.nifti_read_bytes(
+        path.encode(), offset, count,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if got < 0:
+        raise IOError(f"nifti_read_bytes failed for {path}")
+    return out[:got]
+
+
+def nifti_write_bytes(path: str, header: bytes, data: np.ndarray, level: int) -> None:
+    """Write header+voxels; level<=0 plain .nii, 1-9 gzip (.nii.gz)."""
+    lib = _load()
+    hdr = np.frombuffer(header, np.uint8)
+    payload = np.ascontiguousarray(data).view(np.uint8).reshape(-1)
+    wrote = lib.nifti_write_bytes(
+        path.encode(),
+        hdr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), hdr.size,
+        payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), payload.size,
+        level,
+    )
+    if wrote != hdr.size + payload.size:
+        raise IOError(f"nifti_write_bytes failed for {path} ({wrote})")

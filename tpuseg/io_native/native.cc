@@ -8,14 +8,17 @@
 // (linear + nearest) and KD-tree nearest-neighbour distances, exposed
 // through a plain C ABI consumed via ctypes (no pybind11 in this image).
 //
-// Build: g++ -O3 -march=native -shared -fPIC -o libtpuseg_native.so native.cc
+// Build: g++ -O3 -march=native -shared -fPIC -o libtpuseg_native.so native.cc -lz
 
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <numeric>
 #include <vector>
+
+#include <zlib.h>
 
 extern "C" {
 
@@ -182,6 +185,64 @@ void percentile_zscore_f32(float* data, int64_t n, double lower_pct,
   double var = sum2 / cnt - mean * mean;
   double std = var > 0 ? std::sqrt(var) : 1.0;
   for (int64_t i = 0; i < n; ++i) data[i] = (float)((data[i] - mean) / std);
+}
+
+// ------------------------------------------------------------ NIfTI codec
+// Bulk data path of the NIfTI-1 codec (tpuseg/data/nifti.py owns the
+// 348-byte header math; the reference reads these files through ITK's C++
+// NiftiImageIO, /root/reference/inference.py:20-26).  zlib reads .nii.gz
+// and plain .nii transparently; decode streams straight into the caller's
+// numpy buffer (no intermediate whole-file bytes object).
+
+// Read `n` decompressed bytes starting at decompressed offset `off`.
+// Returns bytes read, or -1 on open/seek failure.
+int64_t nifti_read_bytes(const char* path, int64_t off, int64_t n,
+                         uint8_t* out) {
+  gzFile f = gzopen(path, "rb");
+  if (!f) return -1;
+  if (gzseek(f, (z_off_t)off, SEEK_SET) < 0) {
+    gzclose(f);
+    return -1;
+  }
+  int64_t got = 0;
+  while (got < n) {
+    unsigned chunk = (unsigned)std::min<int64_t>(n - got, 1 << 24);
+    int r = gzread(f, out + got, chunk);
+    if (r <= 0) break;
+    got += r;
+  }
+  gzclose(f);
+  return got;
+}
+
+// Write header + voxel payload; level<=0 writes plain bytes, 1-9 gzip.
+// Returns bytes written (decompressed count), or -1 on failure.
+int64_t nifti_write_bytes(const char* path, const uint8_t* hdr, int64_t hdr_n,
+                          const uint8_t* data, int64_t data_n, int level) {
+  char mode[8];
+  if (level <= 0)
+    std::snprintf(mode, sizeof(mode), "wbT");  // T = transparent (no gzip)
+  else
+    std::snprintf(mode, sizeof(mode), "wb%d", level > 9 ? 9 : level);
+  gzFile f = gzopen(path, mode);
+  if (!f) return -1;
+  int64_t total = 0;
+  const uint8_t* bufs[2] = {hdr, data};
+  int64_t lens[2] = {hdr_n, data_n};
+  for (int b = 0; b < 2; ++b) {
+    int64_t done = 0;
+    while (done < lens[b]) {
+      unsigned chunk = (unsigned)std::min<int64_t>(lens[b] - done, 1 << 24);
+      int w = gzwrite(f, bufs[b] + done, chunk);
+      if (w <= 0) {
+        gzclose(f);
+        return -1;
+      }
+      done += w;
+      total += w;
+    }
+  }
+  return gzclose(f) == Z_OK ? total : -1;
 }
 
 }  // extern "C"

@@ -93,32 +93,58 @@ def main():
     # unreliable (axon relay), so every measured loop ends with a host
     # fetch of a scalar reduced from the result, which drains the queue.
     vol = np.random.default_rng(0).normal(size=VOL).astype(np.float32)
+    # pipeline options (measured round 2, BASELINE.md): bfloat16 upload
+    # halves H2D on the ~60 MB/s relay link; bit-packed binary-mask fetch
+    # cuts D2H 8x; skipping the (argmax-invariant) weight accumulator on
+    # the mask-only path trims the scatter.  Merged mask equals the
+    # round-1 default path except for the bf16 input quantization (the
+    # model already computes in bf16).
+    opts = dict(return_mask=True, transfer_dtype="bfloat16", pack_mask=True)
     # warmup / compile
-    mask = sliding_window_inference(
-        vol, PATCH, apply_fn, NUM_CLASSES, BATCH, return_mask=True
-    )
+    mask = sliding_window_inference(vol, PATCH, apply_fn, NUM_CLASSES, BATCH, **opts)
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        mask = sliding_window_inference(
-            vol, PATCH, apply_fn, NUM_CLASSES, BATCH, return_mask=True
-        )
+        mask = sliding_window_inference(vol, PATCH, apply_fn, NUM_CLASSES, BATCH, **opts)
     dt = (time.perf_counter() - t0) / reps
     vols_per_sec = 1.0 / dt
 
-    # ---------------- whole-volume mode (TPU-native: 16 GB HBM fits the
-    # full volume, skipping the patch grid's ~4.9x compute redundancy; the
-    # reference is locked to patches by GPU memory) ------------------------
-    @jax.jit
-    def whole_volume_mask(params, v):
-        _, probs = model.apply(params, v.astype(jnp.bfloat16))
-        return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
-
-    dev_vol = jax.device_put(jnp.asarray(vol[None, ..., None]))
-    _ = np.asarray(whole_volume_mask(params, dev_vol))
+    # overlap-0.25 variant (12 patches instead of 27; quantified against
+    # the 0.5-overlap mask by voxel agreement)
+    mask25 = sliding_window_inference(
+        vol, PATCH, apply_fn, NUM_CLASSES, 12, overlap=0.25, **opts
+    )
     t0 = time.perf_counter()
     for _ in range(reps):
-        wv = np.asarray(whole_volume_mask(params, dev_vol))
+        mask25 = sliding_window_inference(
+            vol, PATCH, apply_fn, NUM_CLASSES, 12, overlap=0.25, **opts
+        )
+    vols_per_sec_25 = reps / (time.perf_counter() - t0)
+    agreement_25 = float((mask25 == mask).mean())
+
+    # ---------------- whole-volume mode (TPU-native: 16 GB HBM fits the
+    # full volume, skipping the patch grid's ~4.9x compute redundancy; the
+    # reference is locked to patches by GPU memory).  Timed HONESTLY
+    # including the host->device upload and mask fetch each rep. ----------
+    import ml_dtypes
+
+    @jax.jit
+    def whole_volume_mask(params, v):
+        _, probs = model.apply(params, v)
+        m = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+        flat = m.reshape(-1, 8)
+        w8 = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+        return jnp.sum(flat * w8, axis=-1, dtype=jnp.uint8)
+
+    host_bf16 = vol[None, ..., None].astype(ml_dtypes.bfloat16)
+
+    def whole_run():
+        return np.asarray(whole_volume_mask(params, jnp.asarray(host_bf16)))
+
+    _ = whole_run()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        wv = whole_run()
     whole_vols_per_sec = reps / (time.perf_counter() - t0)
 
     n_patches = len(grid_positions(VOL, PATCH, 0.5))
@@ -166,6 +192,8 @@ def main():
                 "extra": {
                     "platform": platform,
                     "whole_volume_vols_per_sec": round(whole_vols_per_sec, 4),
+                    "overlap25_vols_per_sec": round(vols_per_sec_25, 4),
+                    "overlap25_voxel_agreement_vs_50": round(agreement_25, 5),
                     "patches_per_volume": int(n_patches),
                     "unet3d_train_steps_per_sec_112x112x128_bs1": round(
                         train_steps_per_sec, 4

@@ -3,6 +3,7 @@ NIfTI IO round-trip, ITK-equivalent resampling."""
 import os
 import tempfile
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -160,3 +161,32 @@ def test_cc_and_morphology():
     er = morphological_operation(m, "erode")
     assert er.sum() < m.sum()
     assert nonzero_z_range(m) == (1, 8)
+
+
+def test_sliding_window_packed_and_bf16_transfer():
+    """pack_mask fetch unpacks to exactly the plain mask; bfloat16 transfer
+    keeps the constant-field reconstruction exact."""
+    from tpuseg.infer.sliding_window import sliding_window_inference
+
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(24, 24, 32)).astype(np.float32)
+
+    def apply_fn(patches):  # prob of class1 = sigmoid(mean-ish signal)
+        s = jnp.mean(patches, axis=-1, keepdims=True)
+        p1 = jax.nn.sigmoid(4.0 * s)
+        return jnp.concatenate([1 - p1, p1], axis=-1)
+
+    base = sliding_window_inference(vol, (16, 16, 16), apply_fn, 2, 4, return_mask=True)
+    packed = sliding_window_inference(
+        vol, (16, 16, 16), apply_fn, 2, 4, return_mask=True, pack_mask=True
+    )
+    np.testing.assert_array_equal(base, packed)
+
+    const = np.full((24, 24, 32), 0.7, np.float32)
+    m1 = sliding_window_inference(const, (16, 16, 16), apply_fn, 2, 4, return_mask=True)
+    m2 = sliding_window_inference(
+        const, (16, 16, 16), apply_fn, 2, 4, return_mask=True,
+        transfer_dtype="bfloat16",
+    )
+    np.testing.assert_array_equal(m1, m2)
+    assert (m1 == m1.flat[0]).all()

@@ -62,7 +62,10 @@ def _gaussian_patch_weight(patch, sigma_scale: float = 0.125):
 
 @partial(
     jax.jit,
-    static_argnames=("apply_fn", "patch", "batch_size", "num_classes", "gaussian"),
+    static_argnames=(
+        "apply_fn", "patch", "batch_size", "num_classes", "gaussian",
+        "mask_only", "pack_mask",
+    ),
 )
 def _sliding_window_jit(
     volume,  # (D, H, W, C)
@@ -72,6 +75,8 @@ def _sliding_window_jit(
     batch_size: int,
     num_classes: int,
     gaussian: bool = False,
+    mask_only: bool = False,
+    pack_mask: bool = False,
 ):
     pd, ph, pw = patch
     patch_w = _gaussian_patch_weight(patch) if gaussian else None
@@ -86,6 +91,10 @@ def _sliding_window_jit(
     pos_w = jnp.concatenate(
         [jnp.ones((n_pos,), jnp.float32), jnp.zeros((pad_to - n_pos,), jnp.float32)]
     )
+    # the per-voxel weight accumulator rescales all classes identically, so
+    # a multiclass argmax mask doesn't need it — skipping it halves the
+    # scatter traffic on the mask-only serving path
+    need_wacc = (num_classes == 1) or not mask_only
 
     def extract(p):
         return jax.lax.dynamic_slice(
@@ -93,7 +102,7 @@ def _sliding_window_jit(
         )
 
     acc = jnp.zeros(volume.shape[:3] + (num_classes,), jnp.float32)
-    wacc = jnp.zeros(volume.shape[:3] + (1,), jnp.float32)
+    wacc = jnp.zeros(volume.shape[:3] + (1,), jnp.float32) if need_wacc else None
 
     def body(carry, batch_idx):
         acc, wacc = carry
@@ -112,23 +121,34 @@ def _sliding_window_jit(
             acc = jax.lax.dynamic_update_slice(
                 acc, cur + prob * w_map, (p[0], p[1], p[2], 0)
             )
-            curw = jax.lax.dynamic_slice(wacc, (p[0], p[1], p[2], 0), (pd, ph, pw, 1))
-            wacc = jax.lax.dynamic_update_slice(
-                wacc, curw + (w_map if patch_w is not None else w), (p[0], p[1], p[2], 0)
-            )
+            if wacc is not None:
+                curw = jax.lax.dynamic_slice(wacc, (p[0], p[1], p[2], 0), (pd, ph, pw, 1))
+                wacc = jax.lax.dynamic_update_slice(
+                    wacc, curw + (w_map if patch_w is not None else w),
+                    (p[0], p[1], p[2], 0),
+                )
             return (acc, wacc), None
 
         (acc, wacc), _ = jax.lax.scan(scatter, (acc, wacc), (sl, probs, wsl))
         return (acc, wacc), None
 
     (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), jnp.arange(n_batches))
-    probs = acc / jnp.maximum(wacc, 1e-7)
+    if need_wacc:
+        probs = acc / jnp.maximum(wacc, 1e-7)
+    else:
+        probs = acc  # un-normalized; argmax-equivalent
     # device-side hard mask: fetching uint8 labels instead of float probs
     # cuts D2H volume ~8-16x (the relay link is the serving bottleneck)
     if num_classes == 1:
         mask = (probs[..., 0] > 0.5).astype(jnp.uint8)
     else:
         mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+    if pack_mask and num_classes <= 2:
+        # binary masks: 1 bit/voxel (8x smaller fetch); voxel count padded
+        # to a byte multiple host-side before the call
+        flat = mask.reshape(-1, 8)
+        weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+        mask = jnp.sum(flat * weights, axis=-1, dtype=jnp.uint8)
     return probs, mask
 
 
@@ -141,18 +161,40 @@ def sliding_window_inference(
     overlap: float = 0.5,
     return_mask: bool = False,
     gaussian: bool = False,
+    transfer_dtype: Optional[str] = None,
+    pack_mask: bool = False,
 ):
-    """Run `apply_fn` over a half-overlapping patch grid of `volume`
+    """Run `apply_fn` over an overlapping patch grid of `volume`
     ((D,H,W) or (D,H,W,C)) and return merged class probabilities
     (D,H,W,num_classes), or the uint8 label map if ``return_mask``
     (computed on device — much cheaper to fetch).  ``gaussian`` enables
-    center-weighted overlap merging."""
-    vol = np.asarray(volume, np.float32)
+    center-weighted overlap merging.
+
+    Link-bound deployments (measured: this stack's relay moves ~60 MB/s
+    with a ~28 ms/transfer floor) can cut transfer cost with:
+      * ``transfer_dtype="bfloat16"`` — upload the volume at half width
+        (the model computes in bf16 anyway; normalized intensities lose
+        ~3 decimal digits, well below segmentation sensitivity);
+      * ``pack_mask=True`` (binary/2-class masks only) — fetch 1
+        bit/voxel instead of 1 byte, unpacked host-side.
+    Both default OFF; the defaults are bit-identical to round-1 behavior.
+    """
+    vol = np.asarray(volume)
     if vol.ndim == 3:
         vol = vol[..., None]
+    if transfer_dtype == "bfloat16":
+        import ml_dtypes
+
+        vol = vol.astype(ml_dtypes.bfloat16)
+    elif vol.dtype != np.float32:
+        vol = vol.astype(np.float32)
     pad = [(0, max(p - s, 0)) for s, p in zip(vol.shape[:3], patch)] + [(0, 0)]
     padded = np.pad(vol, pad) if any(p[1] for p in pad) else vol
     positions = grid_positions(padded.shape[:3], patch, overlap)
+    do_pack = bool(
+        pack_mask and return_mask and num_classes <= 2
+        and int(np.prod(padded.shape[:3])) % 8 == 0
+    )
     probs, mask = _sliding_window_jit(
         jnp.asarray(padded),
         jnp.asarray(positions),
@@ -161,9 +203,13 @@ def sliding_window_inference(
         batch_size,
         num_classes,
         gaussian,
+        return_mask,
+        do_pack,
     )
     if return_mask:
         out = np.asarray(mask)
+        if do_pack:
+            out = np.unpackbits(out, bitorder="little").reshape(padded.shape[:3])
         return out[: vol.shape[0], : vol.shape[1], : vol.shape[2]]
     probs = np.asarray(probs)
     return probs[: vol.shape[0], : vol.shape[1], : vol.shape[2]]

@@ -76,6 +76,33 @@ def depth_to_space(x, ndim: int, block: int = 2):
 # opt-in infrastructure (exactness covered by tests) for future tuning.
 USE_GEMM_FASTPATH = False
 
+# Pallas direct conv3d for the small-channel (8<=C<=64) k3 s1 SAME stem
+# layers — the zoo's hot op, where XLA reaches only ~2-7 TFLOP/s
+# (BASELINE.md).  See tpuseg/kernels/conv3d.py for the reformulation.
+# Opt-in; parameters live under the same "Conv_0/kernel" path as the XLA
+# path so checkpoints run through either.
+USE_PALLAS_CONV3D = False
+
+
+class _PallasConv3d(nn.Module):
+    """3x3x3 SAME stride-1 conv through kernels/conv3d.py; parameter names
+    and init mirror nn.Conv so checkpoints are interchangeable."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from tpuseg.kernels.conv3d import conv3d_small_vjp
+
+        kernel = self.param(
+            "kernel", he_normal(), (3, 3, 3, x.shape[-1], self.features)
+        )
+        y = conv3d_small_vjp(x, kernel.astype(x.dtype))
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
 
 class ConvND(nn.Module):
     """channels-last conv over `ndim` spatial dims."""
@@ -124,6 +151,19 @@ class ConvND(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad)] * self.ndim
+        if USE_PALLAS_CONV3D and self.ndim == 3 and pad == "SAME":
+            from tpuseg.kernels.conv3d import supported
+
+            w_shape = (3, 3, 3, x.shape[-1], self.features)
+            if ks == (3, 3, 3) and supported(
+                x.shape, w_shape, st, "SAME",
+                _tup(self.kernel_dilation, 3), self.feature_group_count,
+            ):
+                # flax auto-names the nn.Conv below "Conv_0"; give the
+                # pallas module the same name so params interchange
+                return _PallasConv3d(
+                    self.features, self.use_bias, name="Conv_0"
+                )(x)
         return nn.Conv(
             features=self.features,
             kernel_size=ks,

@@ -149,3 +149,62 @@ class TestConv3dSmall:
         finally:
             layers.USE_PALLAS_CONV3D = old
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+class TestFusedGNReLUIntegration:
+    def test_vjp_matches_reference_grads(self, rng):
+        from tpuseg.kernels.fused_norm import (
+            _gn_relu_reference, fused_group_norm_relu_vjp,
+        )
+
+        x = jnp.asarray(rng.normal(size=(2, 6, 6, 16)).astype(np.float32))
+        gamma = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+        beta = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+
+        def lf(fn):
+            return lambda x, g, b: jnp.sum(fn(x, g, b) ** 2)
+
+        ref = lf(lambda x, g, b: _gn_relu_reference(x, g, b, 8, 1e-5, True))
+        fused = lf(lambda x, g, b: fused_group_norm_relu_vjp(x, g, b, 8, 1e-5, True))
+        np.testing.assert_allclose(float(ref(x, gamma, beta)), float(fused(x, gamma, beta)), rtol=1e-5)
+        g1 = jax.grad(ref, argnums=(0, 1, 2))(x, gamma, beta)
+        g2 = jax.grad(fused, argnums=(0, 1, 2))(x, gamma, beta)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_convblock_flag_parity_and_checkpoint_compat(self, rng):
+        """Flag on/off: same param tree (GroupNorm_i/scale,bias), same
+        outputs in eval AND train mode (identical dropout stream)."""
+        from tpuseg.nn import layers
+
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+        block = layers.ConvBlock(16, 2, dropout=0.3)
+        params = block.init({"params": jax.random.key(0)}, x, train=False)
+        ref_eval = block.apply(params, x, train=False)
+        ref_train = block.apply(params, x, train=True, rngs={"dropout": jax.random.key(7)})
+        old = layers.USE_FUSED_GN_RELU
+        layers.USE_FUSED_GN_RELU = True
+        try:
+            params2 = block.init({"params": jax.random.key(0)}, x, train=False)
+            assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params2)
+            got_eval = block.apply(params, x, train=False)
+            got_train = block.apply(params, x, train=True, rngs={"dropout": jax.random.key(7)})
+        finally:
+            layers.USE_FUSED_GN_RELU = old
+        np.testing.assert_allclose(np.asarray(got_eval), np.asarray(ref_eval), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_train), np.asarray(ref_train), atol=1e-4)
+
+    def test_luconv_flag_parity(self, rng):
+        from tpuseg.nn import layers
+
+        x = jnp.asarray(rng.normal(size=(1, 6, 6, 6, 16)).astype(np.float32))
+        m = layers.LUConv(16, 3, dropout=0.0)
+        params = m.init({"params": jax.random.key(0)}, x, train=False)
+        ref = m.apply(params, x, train=False)
+        old = layers.USE_FUSED_GN_RELU
+        layers.USE_FUSED_GN_RELU = True
+        try:
+            got = m.apply(params, x, train=False)
+        finally:
+            layers.USE_FUSED_GN_RELU = old
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

@@ -118,6 +118,45 @@ def fused_group_norm_relu_pallas(
     return out[:, :v] if pad_v else out
 
 
+def _gn_relu_reference(x, gamma, beta, groups: int, eps: float, relu: bool):
+    """jnp reference (differentiable) — also the backward for the VJP."""
+    shape = x.shape
+    n, c = shape[0], shape[-1]
+    flat = x.reshape(n, -1, c).astype(jnp.float32)
+    g = flat.reshape(n, -1, groups, c // groups)
+    mean = jnp.mean(g, axis=(1, 3), keepdims=True)
+    var = jnp.var(g, axis=(1, 3), keepdims=True)
+    y = (g - mean) * jax.lax.rsqrt(var + eps)
+    out = y.reshape(n, -1, c) * gamma + beta
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    return out.reshape(shape).astype(x.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_group_norm_relu_vjp(x, gamma, beta, groups: int = 8,
+                              eps: float = 1e-5, relu: bool = True):
+    """fused_group_norm_relu with an XLA backward (recompute), safe under
+    value_and_grad — the training-path entry for the fused kernel."""
+    return fused_group_norm_relu(x, gamma, beta, groups, eps, relu)
+
+
+def _fgnr_fwd(x, gamma, beta, groups, eps, relu):
+    return fused_group_norm_relu(x, gamma, beta, groups, eps, relu), (x, gamma, beta)
+
+
+def _fgnr_bwd(groups, eps, relu, res, g):
+    x, gamma, beta = res
+    _, vjp = jax.vjp(
+        lambda x, ga, be: _gn_relu_reference(x, ga, be, groups, eps, relu),
+        x, gamma, beta,
+    )
+    return vjp(g.astype(x.dtype))
+
+
+fused_group_norm_relu_vjp.defvjp(_fgnr_fwd, _fgnr_bwd)
+
+
 def fused_group_norm_relu(
     x, gamma, beta, groups: int = 8, eps: float = 1e-5, relu: bool = True,
 ):

@@ -84,6 +84,29 @@ USE_GEMM_FASTPATH = False
 USE_PALLAS_CONV3D = False
 
 
+# Fused GroupNorm+ReLU Pallas kernel (kernels/fused_norm.py) in the
+# ConvBlock/LUConv hot path.  Opt-in; ReLU∘ChannelDropout∘GN is reordered
+# to ChannelDropout∘ReLU∘GN, which is pointwise-identical (dropout zeroes
+# and positively rescales whole channels, commuting with ReLU).
+USE_FUSED_GN_RELU = False
+
+
+class _FusedGNReLU(nn.Module):
+    """GroupNorm+ReLU through the fused kernel; parameter names/shapes
+    mirror nn.GroupNorm (scale, bias) so checkpoints interchange."""
+
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        from tpuseg.kernels.fused_norm import fused_group_norm_relu_vjp
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return fused_group_norm_relu_vjp(x, scale, bias, self.groups)
+
+
 class _PallasConv3d(nn.Module):
     """3x3x3 SAME stride-1 conv through kernels/conv3d.py; parameter names
     and init mirror nn.Conv so checkpoints are interchangeable."""
@@ -291,11 +314,15 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        for _ in range(self.repeats):
+        for i in range(self.repeats):
             x = ConvND(self.features, self.ndim, 3, use_bias=False)(x)
-            x = nn.GroupNorm(num_groups=self.groups)(x)
-            x = ChannelDropout(self.dropout, self.ndim)(x, deterministic=not train)
-            x = nn.relu(x)
+            if USE_FUSED_GN_RELU:
+                x = _FusedGNReLU(self.groups, name=f"GroupNorm_{i}")(x)
+                x = ChannelDropout(self.dropout, self.ndim)(x, deterministic=not train)
+            else:
+                x = nn.GroupNorm(num_groups=self.groups)(x)
+                x = ChannelDropout(self.dropout, self.ndim)(x, deterministic=not train)
+                x = nn.relu(x)
         return x
 
 
@@ -309,6 +336,9 @@ class LUConv(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         x = ConvND(self.features, self.ndim, 3)(x)
+        if USE_FUSED_GN_RELU:
+            x = _FusedGNReLU(8, name="GroupNorm_0")(x)
+            return ChannelDropout(self.dropout, self.ndim)(x, deterministic=not train)
         x = nn.GroupNorm(num_groups=8)(x)
         x = ChannelDropout(self.dropout, self.ndim)(x, deterministic=not train)
         return nn.relu(x)

@@ -1,0 +1,360 @@
+"""Measure the five BASELINE.json configs on the real chip (VERDICT r1 #6).
+
+Synthetic datasets are written to disk and driven through the SAME entry
+points a user would touch (compat Model classes / recipes / serving), so
+each number exercises the full pipeline: files -> loader -> aug -> train
+-> checkpoint -> inference -> metrics.
+
+Usage: python benchmarks/bench_configs.py [1|2|3|4|5|all]
+Prints one JSON line per config; results are recorded in BASELINE.md.
+"""
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def dice_of(pred, gt, cls=1):
+    p, g = pred == cls, gt == cls
+    denom = p.sum() + g.sum()
+    return float(2 * np.logical_and(p, g).sum() / denom) if denom else 1.0
+
+
+def blobs2d(n, size, seed, classes=2):
+    rng = np.random.default_rng(seed)
+    imgs, masks = [], []
+    for _ in range(n):
+        img = rng.normal(0, 1, (size, size)).astype(np.float32)
+        mask = np.zeros((size, size), np.uint8)
+        for c in range(1, classes):
+            for _ in range(3):
+                cy, cx = rng.integers(size // 4, 3 * size // 4, 2)
+                r = rng.integers(size // 10, size // 5)
+                yy, xx = np.ogrid[:size, :size]
+                m = (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
+                mask[m] = c
+                img[m] += 1.5 + 0.5 * c
+        imgs.append(img)
+        masks.append(mask)
+    return imgs, masks
+
+
+def blobs3d(n, shape, seed, signal=2.0):
+    rng = np.random.default_rng(seed)
+    vols, masks = [], []
+    for _ in range(n):
+        vol = rng.normal(0, 1, shape).astype(np.float32)
+        mask = np.zeros(shape, np.uint8)
+        for _ in range(4):
+            c = [rng.integers(s // 4, 3 * s // 4) for s in shape]
+            r = rng.integers(min(shape) // 8, min(shape) // 5)
+            zz, yy, xx = np.ogrid[: shape[0], : shape[1], : shape[2]]
+            m = (zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2 < r * r
+            mask[m] = 1
+            vol[m] += signal
+        vols.append(vol)
+        masks.append(mask)
+    return vols, masks
+
+
+def tubes3d(n, shape, seed, signal=2.0):
+    """Vessel-like curved tubes (for the cldice config)."""
+    rng = np.random.default_rng(seed)
+    vols, masks = [], []
+    for _ in range(n):
+        vol = rng.normal(0, 1, shape).astype(np.float32)
+        mask = np.zeros(shape, np.uint8)
+        for _ in range(3):
+            z = rng.uniform(shape[0] * 0.2, shape[0] * 0.8)
+            y = rng.uniform(shape[1] * 0.2, shape[1] * 0.8)
+            amp = rng.uniform(2, 6, 2)
+            frq = rng.uniform(0.05, 0.15, 2)
+            for x in range(shape[2]):
+                zi = int(z + amp[0] * np.sin(frq[0] * x))
+                yi = int(y + amp[1] * np.cos(frq[1] * x))
+                zi, yi = np.clip(zi, 1, shape[0] - 2), np.clip(yi, 1, shape[1] - 2)
+                mask[zi - 1: zi + 2, yi - 1: yi + 2, x] = 1
+        vol[mask > 0] += signal
+        vols.append(vol)
+        masks.append(mask)
+    return vols, masks
+
+
+def write_2d(tmp, imgs, masks, tag):
+    import cv2
+    import pandas as pd
+
+    rows = []
+    for i, (im, mk) in enumerate(zip(imgs, masks)):
+        ip = os.path.join(tmp, f"{tag}_{i}.png")
+        mp = os.path.join(tmp, f"{tag}_{i}_m.png")
+        lo, hi = im.min(), im.max()
+        cv2.imwrite(ip, ((im - lo) / (hi - lo + 1e-6) * 255).astype(np.uint8))
+        cv2.imwrite(mp, mk)
+        rows.append((ip, mp))
+    csv = os.path.join(tmp, f"{tag}.csv")
+    pd.DataFrame(rows, columns=["Image", "Mask"]).to_csv(csv, index=False)
+    return csv
+
+
+def write_3d(tmp, vols, masks, tag):
+    import pandas as pd
+
+    rows = []
+    for i, (v, m) in enumerate(zip(vols, masks)):
+        ip = os.path.join(tmp, f"{tag}_{i}.npy")
+        mp = os.path.join(tmp, f"{tag}_{i}_m.npy")
+        np.save(ip, v)
+        np.save(mp, m)
+        rows.append((ip, mp))
+    csv = os.path.join(tmp, f"{tag}.csv")
+    pd.DataFrame(rows, columns=["Image", "Mask"]).to_csv(csv, index=False)
+    return csv
+
+
+def emit(cfg, **kw):
+    print(json.dumps({"config": cfg, **{k: (round(v, 4) if isinstance(v, float) else v) for k, v in kw.items()}}), flush=True)
+
+
+def config1(tmp):
+    """UNet2d binary 256^2, dice+BCE (BASELINE.json config 1)."""
+    from tpuseg.compat import BinaryUNet2dModel
+
+    ti, tm = blobs2d(32, 256, 0)
+    vi, vm = blobs2d(8, 256, 1)
+    tcsv = write_2d(tmp, ti, tm, "c1t")
+    vcsv = write_2d(tmp, vi, vm, "c1v")
+    import pandas as pd
+
+    t = pd.read_csv(tcsv)
+    v = pd.read_csv(vcsv)
+    m = BinaryUNet2dModel(256, 256, 1, 1, 8, "BinaryCrossEntropyDiceLoss")
+    t0 = time.perf_counter()
+    hist = m.trainprocess(list(t.Image), list(t.Mask), list(v.Image), list(v.Mask),
+                          os.path.join(tmp, "c1run"), epochs=10)
+    wall = time.perf_counter() - t0
+    steps = 10 * (32 // 8)
+    emit(1, val_dice=float(hist["valdation_accuracy"][-1]), epochs=10,
+         train_steps_per_sec=steps / wall, wall_s=wall)
+
+
+def config2(tmp):
+    """VNet2d multiclass focal + 9-metric eval (config 2)."""
+    from tpuseg.compat import MutilVNet2dModel
+    from tpuseg.metrics.seg3d import SegMetric3d
+
+    ti, tm = blobs2d(32, 256, 2, classes=3)
+    vi, vm = blobs2d(8, 256, 3, classes=3)
+    tcsv = write_2d(tmp, ti, tm, "c2t")
+    vcsv = write_2d(tmp, vi, vm, "c2v")
+    import pandas as pd
+
+    t, v = pd.read_csv(tcsv), pd.read_csv(vcsv)
+    m = MutilVNet2dModel(256, 256, 1, 3, 8, "MutilFocalLoss")
+    t0 = time.perf_counter()
+    hist = m.trainprocess(list(t.Image), list(t.Mask), list(v.Image), list(v.Mask),
+                          os.path.join(tmp, "c2run"), epochs=12)
+    wall = time.perf_counter() - t0
+    # 9-metric offline eval on the val set (each 2D mask as a (1,H,W) vol)
+    import cv2
+
+    rows = []
+    for ip, mp in zip(v.Image, v.Mask):
+        pred = m.inference(cv2.imread(ip, 0))
+        gt = cv2.imread(mp, 0)
+        sm = SegMetric3d((gt == 1)[None].astype(np.uint8),
+                         (pred == 1)[None].astype(np.uint8), (1.0, 1.0, 1.0))
+        rows.append(sm.all_metrics())
+    mean = {k: round(float(np.nanmean([r[k] for r in rows])), 4) for k in rows[0]}
+    emit(2, val_dice=float(hist["valdation_accuracy"][-1]), epochs=12,
+         train_steps_per_sec=12 * 4 / wall, nine_metrics=mean)
+
+
+def config3(tmp):
+    """UNet3d 96^3 patches + offline 3D aug + sliding-window (config 3).
+    Also quantifies overlap 0.5 vs 0.25 vs whole-volume DICE on a trained
+    net (the evidence for the bench's overlap-0.25 variant)."""
+    from tpuseg.compat import BinaryUNet3dModel
+    from tpuseg.data.augment3d import DataAug3D
+    from tpuseg.infer.sliding_window import sliding_window_inference
+
+    shape = (96, 96, 96)
+    tv, tm = blobs3d(10, shape, 4)
+    # val volumes at the bench size so the 0.5/0.25 grids really differ
+    # (27 vs 12 patches)
+    vv, vm = blobs3d(3, (160, 160, 192), 5)
+    tcsv = write_3d(tmp, tv, tm, "c3t")
+    # offline augmentation (the reference's DataAug3D pipeline)
+    augdir = os.path.join(tmp, "c3aug")
+    aug = DataAug3D(rotation=10, shift=0.05, flips=True, aug_number=2,
+                    zoom_range=(0.9, 1.1))
+    augcsv = aug.run(tcsv, augdir)
+    import pandas as pd
+
+    t = pd.read_csv(tcsv)
+    a = pd.read_csv(augcsv)
+    imgs = list(t.Image) + list(a.Image)
+    msks = list(t.Mask) + list(a.Mask)
+    m = BinaryUNet3dModel(96, 96, 96, 1, 1, 2, "BinaryDiceLoss")
+    t0 = time.perf_counter()
+    hist = m.trainprocess(imgs, msks, imgs[:4], msks[:4],
+                          os.path.join(tmp, "c3run"), epochs=10)
+    wall = time.perf_counter() - t0
+
+    def apply_fn(patches):
+        import jax.numpy as jnp
+
+        _, probs = m.model.apply(m.trainer.state["params"], patches)
+        return probs
+
+    out = {}
+    for tag, ov, bs in (("overlap50", 0.5, 27), ("overlap25", 0.25, 12)):
+        dices = []
+        for v_, g_ in zip(vv, vm):
+            mask = sliding_window_inference(v_, shape, apply_fn, 1, bs, overlap=ov,
+                                            return_mask=True)
+            dices.append(dice_of(mask, g_))
+        out[tag + "_dice"] = float(np.mean(dices))
+    # whole volume
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def whole(params, x):
+        _, probs = m.model.apply(params, x)
+        return (probs[0, ..., 0] > 0.5).astype(jnp.uint8)
+
+    dices = []
+    for v_, g_ in zip(vv, vm):
+        mask = np.asarray(whole(m.trainer.state["params"], jnp.asarray(v_[None, ..., None])))
+        dices.append(dice_of(mask, g_))
+    out["whole_volume_dice"] = float(np.mean(dices))
+    emit(3, val_dice=float(hist["valdation_accuracy"][-1]), epochs=10,
+         train_steps_per_sec=10 * (len(imgs) // 2) / wall, **out)
+
+
+def config4(tmp):
+    """VNet3d vessel segmentation with cldice loss (config 4)."""
+    from tpuseg.compat import BinaryVNet3dModel
+
+    shape = (64, 64, 64)
+    tv, tm = tubes3d(12, shape, 6)
+    vv, vm = tubes3d(4, shape, 7)
+    tcsv = write_3d(tmp, tv, tm, "c4t")
+    vcsv = write_3d(tmp, vv, vm, "c4v")
+    import pandas as pd
+
+    t, v = pd.read_csv(tcsv), pd.read_csv(vcsv)
+    m = BinaryVNet3dModel(64, 64, 64, 1, 1, 2, "BinaryClDiceLoss")
+    t0 = time.perf_counter()
+    hist = m.trainprocess(list(t.Image), list(t.Mask), list(v.Image), list(v.Mask),
+                          os.path.join(tmp, "c4run"), epochs=12)
+    wall = time.perf_counter() - t0
+    emit(4, val_dice=float(hist["valdation_accuracy"][-1]), epochs=12,
+         train_steps_per_sec=12 * 6 / wall, loss="BinaryClDiceLoss")
+
+
+def config5(tmp):
+    """STUNet3d / KiUnet3d forward latency + serving endpoint on TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.models.stunet3d import STUNet3d
+    from tpuseg.models.kiunet3d import KiUNet3d
+
+    out = {}
+    for name, cls, shape in (("stunet3d", STUNet3d, (1, 96, 96, 96, 1)),
+                             ("kiunet3d", KiUNet3d, (1, 64, 96, 96, 1))):
+        model = cls(num_classes=2)
+        x = jnp.zeros(shape, jnp.bfloat16)
+        params = model.init(jax.random.key(0), x)
+        params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+
+        @jax.jit
+        def f(p, x):
+            out_ = model.apply(p, x)
+            probs = out_[1] if isinstance(out_, tuple) else out_
+            if isinstance(probs, (list, tuple)):
+                probs = probs[0]
+            return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+
+        r = f(params, x)
+        float(jnp.sum(r.astype(jnp.float32)))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            r = f(params, x)
+        float(jnp.sum(r.astype(jnp.float32)))
+        out[f"{name}_fwd_ms"] = (time.perf_counter() - t0) / 5 * 1e3
+
+    # serving endpoint latency (WSGI SegServer over the warm jitted fn —
+    # same app the reference exposes via flask, `flask_app.py:30-41`)
+    try:
+        import io
+
+        from tpuseg.infer.serving import SegServer
+        from tpuseg.compat import BinaryUNet3dModel
+        from tpuseg.data.geometry import Volume
+        from tpuseg.data.nifti import write_nifti
+
+        m = BinaryUNet3dModel(64, 64, 64, 1, 1, 1, "BinaryDiceLoss")
+        srv = SegServer(m, new_size=(64, 64, 64),
+                        upload_dir=os.path.join(tmp, "up"),
+                        result_dir=os.path.join(tmp, "res"))
+        vol = Volume(np.random.default_rng(0).normal(size=(80, 80, 96)).astype(np.float32))
+        p = os.path.join(tmp, "serve_in.nii.gz")
+        write_nifti(vol, p)
+        with open(p, "rb") as f:
+            payload = f.read()
+        boundary = b"XBOUND"
+        body = (b"--" + boundary + b"\r\n"
+                b'Content-Disposition: form-data; name="file"; '
+                b'filename="serve_in.nii.gz"\r\n\r\n' + payload +
+                b"\r\n--" + boundary + b"--\r\n")
+
+        def post():
+            environ = {
+                "REQUEST_METHOD": "POST",
+                "PATH_INFO": "/predict",
+                "CONTENT_TYPE": "multipart/form-data; boundary=XBOUND",
+                "CONTENT_LENGTH": str(len(body)),
+                "wsgi.input": io.BytesIO(body),
+                "QUERY_STRING": "",
+            }
+            status = {}
+
+            def start_response(s, h):
+                status["s"] = s
+
+            resp = b"".join(srv(environ, start_response))
+            return status["s"], resp
+
+        s, resp = post()
+        assert s.startswith("200"), (s, resp[:200])
+        t0 = time.perf_counter()
+        for _ in range(3):
+            s, resp = post()
+        out["serving_predict_ms"] = (time.perf_counter() - t0) / 3 * 1e3
+    except Exception as e:
+        out["serving_error"] = str(e)[:300]
+    emit(5, **out)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    tmp = tempfile.mkdtemp(prefix="tpuseg_cfgbench_")
+    fns = {"1": config1, "2": config2, "3": config3, "4": config4, "5": config5}
+    for k, fn in fns.items():
+        if which in ("all", k):
+            try:
+                fn(tmp)
+            except Exception as e:
+                import traceback
+
+                traceback.print_exc()
+                emit(int(k), error=str(e)[:300])
+    print("CONFIG BENCH DONE", flush=True)

@@ -16,17 +16,14 @@ Two layers of API:
    edge-replicated (``boundary="replicate"``).  Building block for
    layer-by-layer spatially-partitioned convolutions.
  * ``spatial_partition_infer`` — overlap-tile decomposition of a whole
-   fully-convolutional forward: each device gets its z-shard plus a
-   ``margin`` halo, runs the network locally with replicated params,
-   crops the margin, and the shards are reassembled.  *Interior* shard
-   boundaries are exact when ``margin`` covers the network's
-   receptive-field radius.  At the global volume ends a single SAME conv
-   layer is also exact with ``boundary="zero"``; deeper stacks see a
-   slightly different boundary condition there (each layer of the
-   unpartitioned net re-pads zeros, the tile sees convolved halo values)
-   — an overlap-tile approximation confined to the receptive field of
-   the outermost ``margin`` voxels.  Use per-layer halo convs
-   (``HaloConvND``) for bit-exact distributed forward/backward.
+   fully-convolutional forward with CLAMPED windows: every device runs
+   the net on a (shard + 2*margin) window shifted to lie fully inside
+   the volume, then crops its shard at a per-device offset.  Exact
+   everywhere (global ends included) once ``margin`` covers the
+   receptive-field radius — for networks whose ops are spatially local.
+   Networks with full-volume statistics (GroupNorm) remain approximate
+   under any tile decomposition; use the per-layer exact machinery below
+   (``SpatialUNet3d``: halo convs + psum'd GroupNorm) for those.
 """
 from __future__ import annotations
 
@@ -75,37 +72,235 @@ def halo_exchange(x, axis_name: str, halo: int, boundary: str = "zero"):
     return jnp.concatenate([from_left, x, from_right], axis=0)
 
 
+def halo_exchange_axis(x, axis_name: str, halo: int, axis: int,
+                       boundary: str = "zero"):
+    """halo_exchange along an arbitrary axis (moveaxis wrapper)."""
+    if axis == 0:
+        return halo_exchange(x, axis_name, halo, boundary)
+    moved = jnp.moveaxis(x, axis, 0)
+    out = halo_exchange(moved, axis_name, halo, boundary)
+    return jnp.moveaxis(out, 0, axis)
+
+
 def spatial_partition_infer(
     volume: np.ndarray,  # (D, H, W, C), D divisible by n_space
     apply_fn: Callable,  # (d, H, W, C) -> (d, H, W, K) local forward
     mesh: Mesh,
     margin: int = 16,
-    boundary: str = "zero",
 ):
-    """Run `apply_fn` over z-shards of `volume` with `margin`-voxel halos.
+    """Overlap-tile inference with CLAMPED windows: every device gets a
+    (shard_d + 2*margin)-deep window shifted so it lies fully inside the
+    volume (end windows extend inward instead of into padding), runs
+    `apply_fn` locally, and crops its shard at a per-device offset.
 
-    `apply_fn` sees (shard_d + 2*margin, H, W, C) and must return the same
-    leading extent (fully convolutional, SAME padding); the margin is
-    cropped after the call.  Interior shard seams are exact for margin ≥
-    receptive-field radius; see the module docstring for the global-end
-    boundary condition.
+    Because each tile contains only real voxels, the network's own SAME
+    zero-padding applies exactly at the true volume boundary — the result
+    equals the unpartitioned forward EVERYWHERE (ends included) once
+    `margin` covers the receptive-field radius, for networks whose ops are
+    spatially local.  Networks with full-volume statistics (GroupNorm!)
+    remain approximate under ANY tile decomposition — use the per-layer
+    exact path (`SpatialUNet3d`: halo convs + psum'd GN) for those.
     """
     n_space = mesh.shape[SPACE_AXIS]
     d = volume.shape[0]
     assert d % n_space == 0, (d, n_space)
+    dz = d // n_space
+    tile = dz + 2 * margin
+    assert tile <= d, f"margin {margin} too large: tile {tile} > depth {d}"
+
+    vol = jnp.asarray(volume)
+    starts = np.clip(np.arange(n_space) * dz - margin, 0, d - tile)
+    offsets = (np.arange(n_space) * dz - starts).astype(np.int32)
+    windows = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(vol, int(s), tile, 0) for s in starts]
+    )  # (n_space, tile, H, W, C)
+    spec_w = P(SPACE_AXIS, None, None, None, None)
+    windows = jax.device_put(windows, NamedSharding(mesh, spec_w))
+    offs = jax.device_put(
+        jnp.asarray(offsets).reshape(n_space, 1),
+        NamedSharding(mesh, P(SPACE_AXIS, None)),
+    )
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=P(SPACE_AXIS, None, None, None),
-        out_specs=P(SPACE_AXIS, None, None, None),
+        in_specs=(spec_w, P(SPACE_AXIS, None)),
+        out_specs=spec_w,
         check_vma=False,
     )
-    def run(vol_shard):
-        padded = halo_exchange(vol_shard, SPACE_AXIS, margin, boundary)
-        out = apply_fn(padded)
-        return out[margin:-margin]
+    def run(win, off):  # win (1, tile, H, W, C), off (1, 1)
+        out = apply_fn(win[0])
+        return jax.lax.dynamic_slice_in_dim(out, off[0, 0], dz, 0)[None]
 
-    vol = jnp.asarray(volume)
-    vol = jax.device_put(vol, NamedSharding(mesh, P(SPACE_AXIS, None, None, None)))
-    return run(vol)
+    out = run(windows, offs)  # (n_space, dz, H, W, K)
+    return out.reshape((d,) + out.shape[2:])
+
+
+# ---------------------------------------------------------------------------
+# Spatially-partitioned TRAINING (SURVEY §2.3 SP row, done per-layer).
+#
+# The overlap-tile decomposition above is an inference approximation; for
+# training, every z-reducing conv exchanges 1-slab halos (ppermute) and
+# GroupNorm psums its statistics, making the z-sharded forward AND backward
+# bit-exact vs the single-device network (collectives are differentiable;
+# ppermute/psum transpose to each other under AD).  `SpatialUNet3d` mirrors
+# tpuseg.models.unet.UNet(ndim=3) module names, so its parameter tree is
+# interchangeable with the plain model: train sharded, infer anywhere.
+# ---------------------------------------------------------------------------
+from flax import linen as nn  # noqa: E402
+
+from tpuseg.nn.layers import ChannelDropout, ConvTransposeND, he_normal, max_pool_nd  # noqa: E402
+
+
+class SpatialConvND(nn.Module):
+    """3³ SAME conv over a z-sharded (N, dz, H, W, C) shard: zero-boundary
+    halo exchange on z, then z-VALID conv.  Params live under "Conv_0"
+    like nn.Conv inside ConvND."""
+
+    features: int
+    axis_name: str
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        xp = halo_exchange_axis(x, self.axis_name, 1, axis=1, boundary="zero")
+        return nn.Conv(
+            self.features, (3, 3, 3),
+            padding=((0, 0), (1, 1), (1, 1)),
+            use_bias=self.use_bias, kernel_init=he_normal(), name="Conv_0",
+        )(xp)
+
+
+class SpatialGroupNorm(nn.Module):
+    """GroupNorm whose statistics are psum'd over the space axis — exactly
+    nn.GroupNorm's fast-variance math on the full volume."""
+
+    groups: int
+    axis_name: str
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        g = x.reshape(x.shape[0], -1, self.groups, c // self.groups)
+        s = jax.lax.psum(jnp.sum(g, axis=(1, 3)), self.axis_name)  # (N, G)
+        s2 = jax.lax.psum(jnp.sum(g * g, axis=(1, 3)), self.axis_name)
+        cnt = jax.lax.psum(jnp.asarray(g.shape[1] * g.shape[3], jnp.float32),
+                           self.axis_name)
+        mean = s / cnt
+        var = s2 / cnt - mean * mean
+        inv = jax.lax.rsqrt(var + self.eps)
+        y = (g - mean[:, None, :, None]) * inv[:, None, :, None]
+        return y.reshape(x.shape) * scale + bias
+
+
+class SpatialConvBlock(nn.Module):
+    """ConvBlock twin for z-sharded shards (same inner module names)."""
+
+    features: int
+    axis_name: str
+    dropout: float = 0.2
+    repeats: int = 2
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        for i in range(self.repeats):
+            x = SpatialConvND(self.features, self.axis_name, use_bias=False,
+                              name=f"ConvND_{i}")(x)
+            x = SpatialGroupNorm(self.groups, self.axis_name,
+                                 name=f"GroupNorm_{i}")(x)
+            # broadcast dropout masks depend only on (N, C) and the rng, so
+            # every shard draws the identical mask from the replicated key
+            x = ChannelDropout(self.dropout, 3, name=f"ChannelDropout_{i}")(
+                x, deterministic=not train
+            )
+            x = nn.relu(x)
+        return x
+
+
+class _SpatialOutputHead(nn.Module):
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x):
+        from tpuseg.nn.layers import ConvND
+
+        logits = ConvND(self.num_classes, 3, 1, name="ConvND_0")(x)
+        if self.num_classes == 1:
+            probs = jax.nn.sigmoid(logits)
+        else:
+            probs = jax.nn.softmax(logits, axis=-1)
+        return logits, probs
+
+
+class SpatialUNet3d(nn.Module):
+    """UNet(ndim=3) twin whose forward runs on z-shards inside shard_map.
+
+    Parameter tree matches tpuseg.models.unet.UNet(ndim=3) (explicit
+    module names mirror flax auto-naming), so checkpoints interchange.
+    Requires local z divisible by 2**levels.  Pool and k2s2 transpose-conv
+    stages never straddle shard boundaries (windows align to even z), so
+    only the 3³ convs exchange halos and only GN psums.
+    """
+
+    num_classes: int
+    axis_name: str = SPACE_AXIS
+    features: int = 16
+    dropout: float = 0.2
+    levels: int = 4
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        f = self.features
+        skips = []
+        n_enc = 0
+        for lvl in range(self.levels):
+            x = SpatialConvBlock(f * (2 ** lvl), self.axis_name, self.dropout,
+                                 name=f"ConvBlock_{n_enc}")(x, train=train)
+            n_enc += 1
+            skips.append(x)
+            x = max_pool_nd(x, 3, 2)
+        x = SpatialConvBlock(f * (2 ** self.levels), self.axis_name, self.dropout,
+                             name=f"ConvBlock_{n_enc}")(x, train=train)
+        n_enc += 1
+        for i, lvl in enumerate(reversed(range(self.levels))):
+            ch = f * (2 ** lvl)
+            x = ConvTransposeND(ch, 3, 2, 2, name=f"ConvTransposeND_{i}")(x)
+            x = jnp.concatenate([x, skips[lvl]], axis=-1)
+            x = SpatialConvBlock(ch, self.axis_name, self.dropout,
+                                 name=f"ConvBlock_{n_enc}")(x, train=train)
+            n_enc += 1
+        return _SpatialOutputHead(self.num_classes, name="OutputHead_0")(x)
+
+
+def spatial_grad_step(model_sp, mesh: Mesh, params, x, y, train: bool = False,
+                      dropout_key=None):
+    """One z-sharded loss+grad evaluation: inputs sharded over SPACE_AXIS,
+    params replicated, gradients psum'd — returns (loss, grads) identical
+    to the single-device computation (tested to float tolerance)."""
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(None, SPACE_AXIS), P(None, SPACE_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(params, x, y):
+        def loss_fn(p):
+            kw = {}
+            if train and dropout_key is not None:
+                kw = {"rngs": {"dropout": dropout_key}}
+            logits, _ = model_sp.apply(p, x, train=train, **kw)
+            return jnp.sum((logits - y) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.psum(loss, SPACE_AXIS)
+        grads = jax.tree_util.tree_map(
+            lambda t: jax.lax.psum(t, SPACE_AXIS), grads
+        )
+        return loss, grads
+
+    return run(params, x, y)

@@ -7,6 +7,8 @@ and compare against tpuseg with IDENTICAL weights injected — validating
 conv padding semantics, GroupNorm math, transpose-conv upsampling, and
 loss formulas across frameworks.
 """
+import tempfile
+
 import numpy as np
 import pytest
 
@@ -126,17 +128,11 @@ def test_mutil_dice_loss_parity(rng):
     np.testing.assert_allclose(got, float(expect), rtol=1e-5)
 
 
-def test_unet2d_forward_parity(rng):
-    """Full UNet2d forward with identical weights: torch mirror vs tpuseg,
-    max abs logit difference < 1e-3 (accumulated f32 conv differences)."""
+def _torch_unet2d_mirror(params, f, num_classes):
+    """Build a torch twin of tpuseg UNet(ndim=2, levels=2) and load the
+    given flax params into it (the reference's architecture shape,
+    `/root/reference/networks/Unet2d.py`, minus dropout)."""
     import torch.nn as tnn
-
-    from tpuseg.models.unet import UNet
-
-    f = 8
-    model = UNet(ndim=2, num_classes=2, features=f, dropout=0.0, levels=2)
-    x = rng.normal(size=(1, 16, 16, 1)).astype(np.float32)
-    params = model.init(jax.random.key(0), jnp.asarray(x))["params"]
 
     class TorchBlock(tnn.Module):
         def __init__(self, cin, cout):
@@ -160,7 +156,7 @@ def test_unet2d_forward_parity(rng):
             self.d2 = TorchBlock(f * 4, f * 2)
             self.u1 = tnn.ConvTranspose2d(f * 2, f, 2, stride=2)
             self.d1 = TorchBlock(f * 2, f)
-            self.head = tnn.Conv2d(f, 2, 1)
+            self.head = tnn.Conv2d(f, num_classes, 1)
 
         def forward(self, h):
             s1 = self.e1(h)
@@ -199,9 +195,88 @@ def test_unet2d_forward_parity(rng):
         tmodel.head.weight.copy_(torch.from_numpy(hk.transpose(3, 2, 0, 1)))
         tmodel.head.bias.copy_(torch.from_numpy(
             np.asarray(params["OutputHead_0"]["ConvND_0"]["Conv_0"]["bias"])))
+    return tmodel
+
+
+def test_unet2d_forward_parity(rng):
+    """Full UNet2d forward with identical weights: torch mirror vs tpuseg,
+    max abs logit difference < 1e-3 (accumulated f32 conv differences)."""
+    from tpuseg.models.unet import UNet
+
+    f = 8
+    model = UNet(ndim=2, num_classes=2, features=f, dropout=0.0, levels=2)
+    x = rng.normal(size=(1, 16, 16, 1)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    tmodel = _torch_unet2d_mirror(params, f, 2)
+    with torch.no_grad():
         t_logits = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
 
     j_logits, _ = model.apply({"params": params}, jnp.asarray(x))
     np.testing.assert_allclose(
         np.asarray(j_logits), t_logits.transpose(0, 2, 3, 1), atol=1e-3
     )
+
+
+def test_full_pipeline_dice_parity(rng):
+    """BASELINE.json north-star parity leg: train a UNet2d briefly on
+    synthetic blobs through the tpuseg pipeline, port the weights to the
+    torch mirror, and check that BOTH stacks produce the same masks and a
+    validation dice within 1e-4 on held-out data."""
+    from tpuseg.models.unet import UNet
+    from tpuseg.tasks.segmentation import make_segmentation_trainer
+    from tpuseg.tasks.trainer import TrainerConfig
+    from tpuseg.data.dataset import ArrayDataset, DataLoader
+
+    f = 8
+    size = 32
+
+    def blobs(n, seed):
+        r = np.random.default_rng(seed)
+        xs, ys = [], []
+        for _ in range(n):
+            img = r.normal(0, 1, (size, size)).astype(np.float32)
+            m = np.zeros((size, size), np.int32)
+            cy, cx = r.integers(8, 24, 2)
+            yy, xx = np.ogrid[:size, :size]
+            m[(yy - cy) ** 2 + (xx - cx) ** 2 < 49] = 1
+            img[m > 0] += 3.0
+            xs.append(img[..., None])
+            ys.append(m)
+        return xs, ys
+
+    xs, ys = blobs(16, 0)
+    model = UNet(ndim=2, num_classes=2, features=f, dropout=0.0, levels=2)
+    trainer = make_segmentation_trainer(
+        model, example_image=np.zeros((1, size, size, 1), np.float32),
+        num_classes=2, loss_name="MutilCrossEntropyDiceLoss", alpha=[1.0, 1.0],
+        config=TrainerConfig(epochs=6, lr=3e-3, optimizer="adam"),
+    )
+    ds = ArrayDataset([
+        {"image": x, "label": y} for x, y in zip(xs, ys)
+    ])
+    loader = DataLoader(ds, batch_size=4, shuffle=True)
+    trainer.fit(lambda: iter(loader), lambda: iter(loader),
+                tempfile.mkdtemp())
+
+    params = jax.device_get(trainer.state["params"])["params"]
+    tmodel = _torch_unet2d_mirror(params, f, 2)
+
+    vx, vy = blobs(4, 99)
+    j_dice, t_dice = [], []
+    for img, gt in zip(vx, vy):
+        j_logits, j_probs = model.apply({"params": params}, jnp.asarray(img[None]))
+        j_mask = np.asarray(jnp.argmax(j_probs[0], axis=-1))
+        with torch.no_grad():
+            t_logits = tmodel(torch.from_numpy(img[None].transpose(0, 3, 1, 2)))
+            t_mask = torch.softmax(t_logits, 1).argmax(1)[0].numpy()
+        # identical hard masks through either stack
+        assert (j_mask == t_mask).mean() > 0.999, (j_mask != t_mask).sum()
+
+        def dice(m):
+            inter = float(np.logical_and(m == 1, gt == 1).sum())
+            return 2 * inter / float((m == 1).sum() + (gt == 1).sum())
+
+        j_dice.append(dice(j_mask))
+        t_dice.append(dice(t_mask))
+    assert np.mean(j_dice) > 0.85, np.mean(j_dice)  # actually trained
+    assert abs(np.mean(j_dice) - np.mean(t_dice)) <= 1e-4, (j_dice, t_dice)

@@ -100,7 +100,12 @@ def main():
     # round-1 default path except for the bf16 input quantization (the
     # model already computes in bf16).
     opts = dict(return_mask=True, transfer_dtype="bfloat16", pack_mask=True)
-    # warmup / compile
+    # Primary: the nnU-Net-default 50%-overlap grid (27 patches) so
+    # vs_baseline compares EQUAL WORK against the modeled 27-patch A100
+    # pipeline.  The 25%-overlap variant (12 patches; trained-model dice
+    # 0.9754 vs 0.9613 @50%, benchmarks/bench_configs.py config 3) and the
+    # TPU-native whole-volume mode are reported alongside with their own
+    # matched-work baseline ratios.
     mask = sliding_window_inference(vol, PATCH, apply_fn, NUM_CLASSES, BATCH, **opts)
     reps = 5
     t0 = time.perf_counter()
@@ -109,8 +114,7 @@ def main():
     dt = (time.perf_counter() - t0) / reps
     vols_per_sec = 1.0 / dt
 
-    # overlap-0.25 variant (12 patches instead of 27; quantified against
-    # the 0.5-overlap mask by voxel agreement)
+    # 25%-overlap variant (12 patches)
     mask25 = sliding_window_inference(
         vol, PATCH, apply_fn, NUM_CLASSES, 12, overlap=0.25, **opts
     )
@@ -120,7 +124,7 @@ def main():
             vol, PATCH, apply_fn, NUM_CLASSES, 12, overlap=0.25, **opts
         )
     vols_per_sec_25 = reps / (time.perf_counter() - t0)
-    agreement_25 = float((mask25 == mask).mean())
+    agreement_25_vs_50 = float((mask25 == mask).mean())
 
     # ---------------- whole-volume mode (TPU-native: 16 GB HBM fits the
     # full volume, skipping the patch grid's ~4.9x compute redundancy; the
@@ -154,6 +158,14 @@ def main():
     ref_pipeline_vols_per_sec = 1.0 / (
         n_patches * (flops_per_patch / a100_effective_flops + 0.010)
     )
+    # matched-work baselines for the variants (same grid / same voxels)
+    redundancy = n_patches * (PATCH[0] * PATCH[1] * PATCH[2]) / float(
+        VOL[0] * VOL[1] * VOL[2]
+    )
+    base25 = 1.0 / (12 * flops_per_patch / a100_effective_flops)
+    base_whole = 1.0 / (
+        n_patches * flops_per_patch / redundancy / a100_effective_flops
+    )
 
     # ---------------- secondary: UNet3d train steps/sec ------------------
     TRAIN_SHAPE = (128, 112, 112)  # (D,H,W) = reference KiPA 112x112x128
@@ -185,15 +197,22 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "VNet3d sliding-window inference (160x160x192 vol, 96^3 patches, bf16)",
+                "metric": "VNet3d sliding-window inference (160x160x192 vol, 96^3 patches, 50% overlap, bf16)",
                 "value": round(vols_per_sec, 4),
                 "unit": "volumes/sec/chip",
                 "vs_baseline": round(vols_per_sec / baseline_vols_per_sec, 3),
                 "extra": {
                     "platform": platform,
                     "whole_volume_vols_per_sec": round(whole_vols_per_sec, 4),
+                    "whole_volume_vs_matched_baseline": round(
+                        whole_vols_per_sec / base_whole, 3
+                    ),
                     "overlap25_vols_per_sec": round(vols_per_sec_25, 4),
-                    "overlap25_voxel_agreement_vs_50": round(agreement_25, 5),
+                    "overlap25_vs_matched_baseline": round(
+                        vols_per_sec_25 / base25, 3
+                    ),
+                    "overlap25_voxel_agreement_vs_50": round(agreement_25_vs_50, 5),
+                    "trained_dice_evidence": "config3: 0.9754 @25% vs 0.9613 @50% vs 0.9906 whole-volume (BASELINE.md)",
                     "patches_per_volume": int(n_patches),
                     "unet3d_train_steps_per_sec_112x112x128_bs1": round(
                         train_steps_per_sec, 4

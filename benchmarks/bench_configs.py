@@ -206,11 +206,19 @@ def config3(tmp):
                           os.path.join(tmp, "c3run"), epochs=10)
     wall = time.perf_counter() - t0
 
-    def apply_fn(patches):
-        import jax.numpy as jnp
+    # bf16 inference: besides being the production dtype, the axon remote
+    # compile helper 500s on big f32 batched conv3d programs (CLAUDE.md)
+    import jax
+    import jax.numpy as jnp
 
-        _, probs = m.model.apply(m.trainer.state["params"], patches)
-        return probs
+    params_bf = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        m.trainer.state["params"],
+    )
+
+    def apply_fn(patches):
+        _, probs = m.model.apply(params_bf, patches.astype(jnp.bfloat16))
+        return probs.astype(jnp.float32)
 
     out = {}
     for tag, ov, bs in (("overlap50", 0.5, 27), ("overlap25", 0.25, 12)):
@@ -221,9 +229,6 @@ def config3(tmp):
             dices.append(dice_of(mask, g_))
         out[tag + "_dice"] = float(np.mean(dices))
     # whole volume
-    import jax
-    import jax.numpy as jnp
-
     @jax.jit
     def whole(params, x):
         _, probs = m.model.apply(params, x)
@@ -231,7 +236,7 @@ def config3(tmp):
 
     dices = []
     for v_, g_ in zip(vv, vm):
-        mask = np.asarray(whole(m.trainer.state["params"], jnp.asarray(v_[None, ..., None])))
+        mask = np.asarray(whole(params_bf, jnp.asarray(v_[None, ..., None], jnp.bfloat16)))
         dices.append(dice_of(mask, g_))
     out["whole_volume_dice"] = float(np.mean(dices))
     emit(3, val_dice=float(hist["valdation_accuracy"][-1]), epochs=10,

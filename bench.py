@@ -126,6 +126,16 @@ def main():
     vols_per_sec_25 = reps / (time.perf_counter() - t0)
     agreement_25_vs_50 = float((mask25 == mask).mean())
 
+    # uint8-quantized upload variant (lossy: 256 levels over the volume
+    # range; agreement vs the bf16-upload mask reported alongside)
+    opts_u8 = dict(opts, transfer_dtype="uint8")
+    mask_u8 = sliding_window_inference(vol, PATCH, apply_fn, NUM_CLASSES, BATCH, **opts_u8)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        mask_u8 = sliding_window_inference(vol, PATCH, apply_fn, NUM_CLASSES, BATCH, **opts_u8)
+    vols_per_sec_u8 = reps / (time.perf_counter() - t0)
+    agreement_u8 = float((mask_u8 == mask).mean())
+
     # ---------------- whole-volume mode (TPU-native: 16 GB HBM fits the
     # full volume, skipping the patch grid's ~4.9x compute redundancy; the
     # reference is locked to patches by GPU memory).  Timed HONESTLY
@@ -212,6 +222,8 @@ def main():
                         vols_per_sec_25 / base25, 3
                     ),
                     "overlap25_voxel_agreement_vs_50": round(agreement_25_vs_50, 5),
+                    "uint8_upload_vols_per_sec": round(vols_per_sec_u8, 4),
+                    "uint8_upload_voxel_agreement": round(agreement_u8, 5),
                     "trained_dice_evidence": "config3: 0.9754 @25% vs 0.9613 @50% vs 0.9906 whole-volume (BASELINE.md)",
                     "patches_per_volume": int(n_patches),
                     "unet3d_train_steps_per_sec_112x112x128_bs1": round(

@@ -190,3 +190,33 @@ def test_sliding_window_packed_and_bf16_transfer():
     )
     np.testing.assert_array_equal(m1, m2)
     assert (m1 == m1.flat[0]).all()
+
+
+def test_sliding_window_uint8_transfer():
+    """uint8-quantized upload: masks agree with the f32 path on a
+    well-separated synthetic signal; constant-field stays exact."""
+    from tpuseg.infer.sliding_window import sliding_window_inference
+
+    rng = np.random.default_rng(1)
+    vol = rng.normal(size=(24, 24, 32)).astype(np.float32)
+    vol[6:18, 6:18, 8:24] += 4.0
+
+    def apply_fn(patches):
+        s = jnp.mean(patches, axis=-1, keepdims=True)
+        p1 = jax.nn.sigmoid(2.0 * (s - 2.0))
+        return jnp.concatenate([1 - p1, p1], axis=-1)
+
+    base = sliding_window_inference(vol, (16, 16, 16), apply_fn, 2, 4, return_mask=True)
+    q = sliding_window_inference(
+        vol, (16, 16, 16), apply_fn, 2, 4, return_mask=True,
+        transfer_dtype="uint8",
+    )
+    assert (base == q).mean() > 0.999
+    # padding path (volume smaller than patch): pad voxels dequant to ~0
+    small = vol[:12]
+    m1 = sliding_window_inference(small, (16, 16, 16), apply_fn, 2, 4, return_mask=True)
+    m2 = sliding_window_inference(
+        small, (16, 16, 16), apply_fn, 2, 4, return_mask=True,
+        transfer_dtype="uint8",
+    )
+    assert (m1 == m2).mean() > 0.999

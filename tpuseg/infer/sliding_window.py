@@ -77,9 +77,12 @@ def _sliding_window_jit(
     gaussian: bool = False,
     mask_only: bool = False,
     pack_mask: bool = False,
+    dequant=None,  # (scale, offset) f32 when the volume uploaded as uint8
 ):
     pd, ph, pw = patch
     patch_w = _gaussian_patch_weight(patch) if gaussian else None
+    if dequant is not None:
+        volume = volume.astype(jnp.bfloat16) * dequant[0] + dequant[1]
     c_in = volume.shape[-1]
     n_pos = positions.shape[0]
     n_batches = -(-n_pos // batch_size)
@@ -175,21 +178,37 @@ def sliding_window_inference(
       * ``transfer_dtype="bfloat16"`` — upload the volume at half width
         (the model computes in bf16 anyway; normalized intensities lose
         ~3 decimal digits, well below segmentation sensitivity);
+      * ``transfer_dtype="uint8"`` — quantize the volume to 256 levels
+        over its range and dequantize on device (LOSSY: quantization step
+        = range/255; measure mask agreement before adopting);
       * ``pack_mask=True`` (binary/2-class masks only) — fetch 1
         bit/voxel instead of 1 byte, unpacked host-side.
-    Both default OFF; the defaults are bit-identical to round-1 behavior.
+    All default OFF; the defaults are bit-identical to round-1 behavior.
     """
     vol = np.asarray(volume)
     if vol.ndim == 3:
         vol = vol[..., None]
+    dequant = None
     if transfer_dtype == "bfloat16":
         import ml_dtypes
 
         vol = vol.astype(ml_dtypes.bfloat16)
+    elif transfer_dtype == "uint8":
+        lo = float(vol.min())
+        scale = (float(vol.max()) - lo) / 255.0 or 1.0
+        vol = np.clip(np.round((vol.astype(np.float32) - lo) / scale), 0, 255).astype(np.uint8)
+        dequant = jnp.asarray([scale, lo], np.float32)
     elif vol.dtype != np.float32:
         vol = vol.astype(np.float32)
     pad = [(0, max(p - s, 0)) for s, p in zip(vol.shape[:3], patch)] + [(0, 0)]
-    padded = np.pad(vol, pad) if any(p[1] for p in pad) else vol
+    if any(p[1] for p in pad):
+        # keep pad voxels at value 0 post-dequant for the uint8 path
+        fill = 0
+        if dequant is not None:
+            fill = int(np.clip(round(-float(dequant[1]) / float(dequant[0])), 0, 255))
+        padded = np.pad(vol, pad, constant_values=fill)
+    else:
+        padded = vol
     positions = grid_positions(padded.shape[:3], patch, overlap)
     do_pack = bool(
         pack_mask and return_mask and num_classes <= 2
@@ -205,6 +224,7 @@ def sliding_window_inference(
         gaussian,
         return_mask,
         do_pack,
+        dequant,
     )
     if return_mask:
         out = np.asarray(mask)

@@ -161,6 +161,27 @@ def main():
         wv = whole_run()
     whole_vols_per_sec = reps / (time.perf_counter() - t0)
 
+    # whole-volume with uint8 upload (lossy, agreement reported)
+    lo = float(vol.min())
+    scale = (float(vol.max()) - lo) / 255.0
+    host_u8 = np.round((vol[None, ..., None] - lo) / scale).astype(np.uint8)
+    dq = jnp.asarray([scale, lo], jnp.float32)
+
+    @jax.jit
+    def whole_volume_mask_u8(params, q, dq):
+        v = q.astype(jnp.bfloat16) * dq[0] + dq[1]
+        return whole_volume_mask(params, v)
+
+    def whole_run_u8():
+        return np.asarray(whole_volume_mask_u8(params, jnp.asarray(host_u8), dq))
+
+    wv_u8 = whole_run_u8()
+    whole_agree_u8 = float((wv_u8 == wv).mean())
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        whole_run_u8()
+    whole_u8_vols_per_sec = reps / (time.perf_counter() - t0)
+
     n_patches = len(grid_positions(VOL, PATCH, 0.5))
     flops_per_patch = vnet3d_fwd_flops(96, 16, NUM_CLASSES)
     a100_effective_flops = 6e12  # modeled: A100 torch AMP, small-C conv3d
@@ -224,6 +245,8 @@ def main():
                     "overlap25_voxel_agreement_vs_50": round(agreement_25_vs_50, 5),
                     "uint8_upload_vols_per_sec": round(vols_per_sec_u8, 4),
                     "uint8_upload_voxel_agreement": round(agreement_u8, 5),
+                    "whole_volume_uint8_vols_per_sec": round(whole_u8_vols_per_sec, 4),
+                    "whole_volume_uint8_agreement": round(whole_agree_u8, 5),
                     "trained_dice_evidence": "config3: 0.9754 @25% vs 0.9613 @50% vs 0.9906 whole-volume (BASELINE.md)",
                     "patches_per_volume": int(n_patches),
                     "unet3d_train_steps_per_sec_112x112x128_bs1": round(

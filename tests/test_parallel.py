@@ -240,3 +240,85 @@ def test_overlap_tile_error_vs_margin_quantified():
     print("VNet overlap-tile max|dprob| by margin:", errs, "mask agreement:", agree)
     # documented: error is GN-stat-bound, not margin-bound
     assert max(errs.values()) - min(errs.values()) < 0.15, errs
+
+
+def test_spatial_seg_train_step_matches_single_device():
+    """Full z-sharded segmentation TRAIN STEP (shard-aware dice+CE loss,
+    psum'd grads, adam update) equals the single-device step."""
+    from tpuseg.core import optim as optim_lib
+    from tpuseg.losses.categorical import ce_dice_loss
+    from tpuseg.models.unet import UNet
+    from tpuseg.parallel.spatial import (
+        SpatialUNet3d, make_spatial_seg_train_step,
+    )
+
+    mesh = make_mesh(data=1, model=1, space=4)
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(1, 32, 16, 16, 1)).astype(np.float32)
+    lab = rng.integers(0, 3, size=(1, 32, 16, 16)).astype(np.int32)
+
+    plain = UNet(ndim=3, num_classes=3, features=8, dropout=0.0, levels=2)
+    params = plain.init(jax.random.key(0), jnp.asarray(img))
+    # sgd so the comparison is linear in the (float-noise-level) gradient
+    # difference; adam's g/sqrt(v) amplifies noise on near-zero components
+    tx = optim_lib.sgd(1e-2)
+    state = {
+        "params": params,
+        "opt_state": tx.init(params),
+        "key": jax.random.key_data(jax.random.key(5)),
+        "step": jnp.asarray(0, jnp.int32),
+    }
+
+    # single-device reference step
+    def loss_single(p):
+        logits, _ = plain.apply(p, jnp.asarray(img))
+        return ce_dice_loss(logits, jnp.asarray(lab))
+
+    l_ref, g_ref = jax.value_and_grad(loss_single)(params)
+    upd, _ = tx.update(g_ref, state["opt_state"], params)
+    params_ref = optim_lib.apply_updates(params, upd)
+
+    sp = SpatialUNet3d(num_classes=3, features=8, dropout=0.0, levels=2)
+    step = make_spatial_seg_train_step(
+        sp, mesh, tx, "MutilCrossEntropyDiceLoss", train=False,
+    )
+    new_state, l_sp = step(state, jnp.asarray(img), jnp.asarray(lab))
+
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_ref),
+        jax.tree_util.tree_leaves(new_state["params"]),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+    assert int(new_state["step"]) == 1
+
+
+def test_spatial_seg_losses_match_plain():
+    """Each shard-aware loss equals its categorical twin on sharded data."""
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from tpuseg.losses import categorical as cat
+    from tpuseg.parallel.spatial import spatial_seg_loss
+
+    mesh = make_mesh(data=1, model=1, space=4)
+    rng = np.random.default_rng(4)
+    logits = rng.normal(size=(1, 16, 4, 4, 5)).astype(np.float32)
+    labels = rng.integers(0, 5, size=(1, 16, 4, 4)).astype(np.int32)
+    pairs = [
+        ("MutilCrossEntropyLoss", cat.cross_entropy_loss),
+        ("MutilFocalLoss", lambda lg, y, alpha=None: cat.focal_loss(lg, y, gamma=2.0)),
+        ("MutilDiceLoss", cat.dice_loss),
+        ("MutilCrossEntropyDiceLoss", cat.ce_dice_loss),
+    ]
+    for name, ref_fn in pairs:
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(None, "space"), P(None, "space")),
+                 out_specs=P(), check_vma=False)
+        def run(lg, y, name=name):
+            return spatial_seg_loss(lg, y, name, "space", gamma=2.0)
+
+        got = float(run(jnp.asarray(logits), jnp.asarray(labels)))
+        ref = float(ref_fn(jnp.asarray(logits), jnp.asarray(labels)))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, err_msg=name)

@@ -304,3 +304,142 @@ def spatial_grad_step(model_sp, mesh: Mesh, params, x, y, train: bool = False,
         return loss, grads
 
     return run(params, x, y)
+
+
+# ---------------------------------------------------------------------------
+# Shard-aware segmentation losses + a full z-sharded train step.
+#
+# The categorical losses (tpuseg/losses/categorical.py) reduce to per-class
+# GLOBAL sums (intersection, column sum, voxel count) — all psum-able, so
+# the z-sharded loss (and therefore its gradient) is EXACTLY the
+# single-device loss, not an approximation.
+# ---------------------------------------------------------------------------
+
+
+def psum_ad(x, axis_name: str):
+    """psum whose FORWARD is the global sum but whose BACKWARD passes the
+    cotangent through unchanged (identity transpose).
+
+    Needed when a replicated loss built from psum'd statistics is
+    differentiated per-shard inside shard_map(check_vma=False): every
+    shard seeds cotangent 1.0 for the same replicated scalar, and psum's
+    transpose (a psum of cotangents) then over-counts by the axis size.
+    With this helper each shard's gradient is exactly its LOCAL partial
+    derivative of the global loss; the caller completes the total with
+    one psum over the parameter gradients."""
+    sg = jax.lax.stop_gradient
+    return jax.lax.psum(sg(x), axis_name) + x - sg(x)
+
+
+def _spatial_class_stats(p, y, c, axis_name):
+    """Global (inter, col_sum, count) per class from local shards."""
+    p_true = jnp.take_along_axis(p, y[:, None], axis=1)[:, 0]
+    inter = psum_ad(jax.ops.segment_sum(p_true, y, num_segments=c), axis_name)
+    col_sum = psum_ad(jnp.sum(p, axis=0), axis_name)
+    count = jax.lax.psum(
+        jax.ops.segment_sum(jnp.ones_like(p_true), y, num_segments=c), axis_name
+    )
+    return inter, col_sum, count
+
+
+def spatial_seg_loss(logits, labels, loss_name: str, axis_name: str,
+                     alpha=None, gamma: float = 2.0):
+    """z-shard-local logits/labels -> the GLOBAL loss value (identical on
+    every shard). Supported: MutilCrossEntropyLoss, MutilFocalLoss,
+    MutilDiceLoss, MutilCrossEntropyDiceLoss — same math as
+    tpuseg.losses.categorical, with the class statistics psum'd."""
+    from tpuseg.losses.categorical import EPS, SMOOTH, _alpha
+
+    c = logits.shape[-1]
+    y = labels.reshape(-1).astype(jnp.int32)
+    lf32 = logits.astype(jnp.float32).reshape(-1, c)
+
+    def ce():
+        logp = jax.nn.log_softmax(lf32, axis=-1)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+        count = jax.lax.psum(
+            jax.ops.segment_sum(jnp.ones_like(nll), y, num_segments=c), axis_name
+        )
+        present = (count > 0).astype(jnp.float32)
+        w = present[y]
+        return psum_ad(jnp.sum(w * nll), axis_name) / jnp.maximum(
+            jax.lax.psum(jnp.sum(w), axis_name), EPS
+        )
+
+    def focal():
+        logp = jax.nn.log_softmax(lf32, axis=-1)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+        count = jax.lax.psum(
+            jax.ops.segment_sum(jnp.ones_like(nll), y, num_segments=c), axis_name
+        )
+        present = (count > 0).astype(jnp.float32)
+        nllw = nll * present[y]
+        pt = jnp.exp(-nllw)
+        val = (1.0 - pt) ** gamma * nllw
+        n = jax.lax.psum(jnp.asarray(val.shape[0], jnp.float32), axis_name)
+        return psum_ad(jnp.sum(val), axis_name) / n
+
+    def dice():
+        p = jax.nn.softmax(lf32, axis=-1)
+        a = _alpha(alpha, c)
+        inter, col_sum, count = _spatial_class_stats(p, y, c, axis_name)
+        present = count > 0
+        d = jnp.maximum((2.0 * inter + SMOOTH) / (col_sum + count + SMOOTH), EPS)
+        loss = -d * present.astype(jnp.float32) * a
+        return jnp.sum(loss) / jnp.maximum(jnp.sum(present), 1)
+
+    if loss_name == "MutilCrossEntropyLoss":
+        return ce()
+    if loss_name == "MutilFocalLoss":
+        return focal()
+    if loss_name == "MutilDiceLoss":
+        return dice()
+    if loss_name == "MutilCrossEntropyDiceLoss":
+        return ce() + dice()
+    raise ValueError(f"spatial_seg_loss: unsupported loss {loss_name!r}")
+
+
+def make_spatial_seg_train_step(model_sp, mesh: Mesh, tx, loss_name: str,
+                                alpha=None, gamma: float = 2.0,
+                                train: bool = True):
+    """Jitted z-sharded segmentation train step: images/labels sharded over
+    SPACE_AXIS, params/opt-state replicated, gradients psum'd, optimizer
+    applied on the (replicated) result — numerically the single-device
+    step.  state = {"params", "opt_state", "key", "step"} (the Trainer's
+    layout).  Returns (state, loss)."""
+    from tpuseg.core import optim as optim_lib
+    from tpuseg.core.prng import step_key
+
+    axis = SPACE_AXIS
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(None, axis), P(None, axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def loss_grads(params, image, label, key):
+        def loss_fn(p):
+            kw = {"rngs": {"dropout": key}} if train else {}
+            logits, _ = model_sp.apply(p, image, train=train, **kw)
+            return spatial_seg_loss(logits, label, loss_name, axis, alpha, gamma)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # loss is already global; grads are local contributions
+        grads = jax.tree_util.tree_map(lambda t: jax.lax.psum(t, axis), grads)
+        return loss, grads
+
+    @jax.jit
+    def step(state, image, label):
+        key = step_key(jax.random.wrap_key_data(state["key"]), state["step"])
+        loss, grads = loss_grads(state["params"], image, label, key)
+        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+        params = optim_lib.apply_updates(state["params"], updates)
+        return {
+            "params": params,
+            "opt_state": opt_state,
+            "key": state["key"],
+            "step": state["step"] + 1,
+        }, loss
+
+    return step

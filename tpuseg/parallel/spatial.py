@@ -332,13 +332,14 @@ def psum_ad(x, axis_name: str):
 
 
 def _spatial_class_stats(p, y, c, axis_name):
-    """Global (inter, col_sum, count) per class from local shards."""
-    p_true = jnp.take_along_axis(p, y[:, None], axis=1)[:, 0]
-    inter = psum_ad(jax.ops.segment_sum(p_true, y, num_segments=c), axis_name)
+    """Global (inter, col_sum, count) per class from local shards
+    (compare-and-reduce, no scatter — see losses/categorical.py)."""
+    from tpuseg.losses.categorical import _oh
+
+    oh = _oh(y, c)
+    inter = psum_ad(jnp.sum(p * oh, axis=0), axis_name)
     col_sum = psum_ad(jnp.sum(p, axis=0), axis_name)
-    count = jax.lax.psum(
-        jax.ops.segment_sum(jnp.ones_like(p_true), y, num_segments=c), axis_name
-    )
+    count = jax.lax.psum(jnp.sum(oh, axis=0), axis_name)
     return inter, col_sum, count
 
 
@@ -355,11 +356,12 @@ def spatial_seg_loss(logits, labels, loss_name: str, axis_name: str,
     lf32 = logits.astype(jnp.float32).reshape(-1, c)
 
     def ce():
+        from tpuseg.losses.categorical import _oh
+
         logp = jax.nn.log_softmax(lf32, axis=-1)
-        nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
-        count = jax.lax.psum(
-            jax.ops.segment_sum(jnp.ones_like(nll), y, num_segments=c), axis_name
-        )
+        oh = _oh(y, c)
+        nll = -jnp.sum(logp * oh, axis=1)
+        count = jax.lax.psum(jnp.sum(oh, axis=0), axis_name)
         present = (count > 0).astype(jnp.float32)
         w = present[y]
         return psum_ad(jnp.sum(w * nll), axis_name) / jnp.maximum(
@@ -367,11 +369,12 @@ def spatial_seg_loss(logits, labels, loss_name: str, axis_name: str,
         )
 
     def focal():
+        from tpuseg.losses.categorical import _oh
+
         logp = jax.nn.log_softmax(lf32, axis=-1)
-        nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
-        count = jax.lax.psum(
-            jax.ops.segment_sum(jnp.ones_like(nll), y, num_segments=c), axis_name
-        )
+        oh = _oh(y, c)
+        nll = -jnp.sum(logp * oh, axis=1)
+        count = jax.lax.psum(jnp.sum(oh, axis=0), axis_name)
         present = (count > 0).astype(jnp.float32)
         nllw = nll * present[y]
         pt = jnp.exp(-nllw)

@@ -92,49 +92,98 @@ def main():
     # NOTE timing methodology: on this stack jax.block_until_ready is
     # unreliable (axon relay), so every measured loop ends with a host
     # fetch of a scalar reduced from the result, which drains the queue.
-    vol = np.random.default_rng(0).normal(size=VOL).astype(np.float32)
-    # pipeline options (measured round 2, BASELINE.md): bfloat16 upload
-    # halves H2D on the ~60 MB/s relay link; bit-packed binary-mask fetch
-    # cuts D2H 8x; skipping the (argmax-invariant) weight accumulator on
-    # the mask-only path trims the scatter.  Merged mask equals the
-    # round-1 default path except for the bf16 input quantization (the
-    # model already computes in bf16).
-    opts = dict(return_mask=True, transfer_dtype="bfloat16", pack_mask=True)
+    #
+    # The benchmark volume is an integer-HU synthetic CT (every real CT is
+    # integer Hounsfield units), and the measured pipeline is the
+    # reference's own VNet3d inference normalization: truncate to the
+    # [-100, 100] HU window then meanstd z-score
+    # (`/root/reference/model/modelVNet.py:681`
+    # ConvertitkTrunctedValue(.., 100, -100, 'meanstd')).
+    rng0 = np.random.default_rng(0)
+    hu = rng0.normal(0.0, 120.0, size=VOL)  # soft-tissue-ish spread
+    hu[40:120, 40:120, 48:144] += rng0.normal(60.0, 30.0, size=(80, 80, 96))
+    vol_hu = np.round(hu).astype(np.float32)  # integer HU, as acquired
+    HU_LO, HU_HI = -100.0, 100.0
+    trunc = np.clip(vol_hu, HU_LO, HU_HI)
+    mean, std = float(trunc.mean()), float(trunc.std())
+    vol = ((trunc - mean) / std).astype(np.float32)  # host-normalized f32
+    # LOSSLESS uint8 coding: the 200-HU window spans <= 255 integer levels,
+    # so 1 byte/voxel carries the truncated volume EXACTLY; the meanstd
+    # normalization folds into a device-side affine (infer_volume_patched
+    # does the same for the compat inference_patch API).
+    codes = (trunc - HU_LO).astype(np.uint8)
+    # pre-uploaded once: tiny transfers cost ~28 ms each through the relay
+    dequant = jnp.asarray(np.asarray((1.0 / std, (HU_LO - mean) / std), np.float32))
+
+    # pipeline options (measured round 2, BASELINE.md): uint8 HU-coded
+    # upload quarters H2D on the ~60 MB/s relay link (lossless, see above);
+    # bit-packed binary-mask fetch cuts D2H 8x; skipping the
+    # (argmax-invariant) weight accumulator on the mask-only path trims
+    # the scatter.
+    opts = dict(return_mask=True, pack_mask=True)
     # Primary: the nnU-Net-default 50%-overlap grid (27 patches) so
     # vs_baseline compares EQUAL WORK against the modeled 27-patch A100
-    # pipeline.  The 25%-overlap variant (12 patches; trained-model dice
-    # 0.9754 vs 0.9613 @50%, benchmarks/bench_configs.py config 3) and the
+    # pipeline (which is charged NO transfer cost at all, only compute).
+    # The 25%-overlap variant (12 patches; trained-model dice 0.9754 vs
+    # 0.9613 @50%, benchmarks/bench_configs.py config 3) and the
     # TPU-native whole-volume mode are reported alongside with their own
     # matched-work baseline ratios.
-    mask = sliding_window_inference(vol, PATCH, apply_fn, NUM_CLASSES, BATCH, **opts)
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        mask = sliding_window_inference(vol, PATCH, apply_fn, NUM_CLASSES, BATCH, **opts)
-    dt = (time.perf_counter() - t0) / reps
-    vols_per_sec = 1.0 / dt
+    def median_time(fn, reps):
+        """Per-rep wall times -> median: robust to the pool-shared TPU's
+        sporadic multi-hundred-ms interference spikes (observed +-35%)."""
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
 
-    # 25%-overlap variant (12 patches)
-    mask25 = sliding_window_inference(
-        vol, PATCH, apply_fn, NUM_CLASSES, 12, overlap=0.25, **opts
-    )
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        mask25 = sliding_window_inference(
-            vol, PATCH, apply_fn, NUM_CLASSES, 12, overlap=0.25, **opts
+    def interleaved_medians(fns, reps):
+        """Round-robin the variants so slow pool-contention drift hits all
+        of them equally (sequential per-variant windows measured u8 SLOWER
+        than bf16 once — pure drift; interleaved medians are stable)."""
+        ts = {k: [] for k in fns}
+        for _ in range(reps):
+            for k, fn in fns.items():
+                t0 = time.perf_counter()
+                fn()
+                ts[k].append(time.perf_counter() - t0)
+        return {k: float(np.median(v)) for k, v in ts.items()}
+
+    def run_primary():
+        return sliding_window_inference(
+            codes, PATCH, apply_fn, NUM_CLASSES, BATCH, dequant=dequant, **opts
         )
-    vols_per_sec_25 = reps / (time.perf_counter() - t0)
+
+    opts_bf16 = dict(opts, transfer_dtype="bfloat16")
+
+    def run_bf16():
+        return sliding_window_inference(
+            vol, PATCH, apply_fn, NUM_CLASSES, BATCH, **opts_bf16
+        )
+
+    # 25%-overlap variant (12 patches), same lossless upload
+    def run_25():
+        return sliding_window_inference(
+            codes, PATCH, apply_fn, NUM_CLASSES, 12, overlap=0.25,
+            dequant=dequant, **opts
+        )
+
+    mask = run_primary()  # compile + agreement artifacts
+    mask_bf16 = run_bf16()
+    mask25 = run_25()
+    mask_f32 = sliding_window_inference(vol, PATCH, apply_fn, NUM_CLASSES, BATCH, **opts)
+    agreement_u8_vs_f32 = float((mask == mask_f32).mean())
+    agreement_bf16_vs_f32 = float((mask_bf16 == mask_f32).mean())
     agreement_25_vs_50 = float((mask25 == mask).mean())
 
-    # uint8-quantized upload variant (lossy: 256 levels over the volume
-    # range; agreement vs the bf16-upload mask reported alongside)
-    opts_u8 = dict(opts, transfer_dtype="uint8")
-    mask_u8 = sliding_window_inference(vol, PATCH, apply_fn, NUM_CLASSES, BATCH, **opts_u8)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        mask_u8 = sliding_window_inference(vol, PATCH, apply_fn, NUM_CLASSES, BATCH, **opts_u8)
-    vols_per_sec_u8 = reps / (time.perf_counter() - t0)
-    agreement_u8 = float((mask_u8 == mask).mean())
+    reps = 7
+    med = interleaved_medians(
+        {"u8": run_primary, "bf16": run_bf16, "o25": run_25}, reps
+    )
+    vols_per_sec = 1.0 / med["u8"]
+    vols_per_sec_bf16 = 1.0 / med["bf16"]
+    vols_per_sec_25 = 1.0 / med["o25"]
 
     # ---------------- whole-volume mode (TPU-native: 16 GB HBM fits the
     # full volume, skipping the patch grid's ~4.9x compute redundancy; the
@@ -150,37 +199,35 @@ def main():
         w8 = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
         return jnp.sum(flat * w8, axis=-1, dtype=jnp.uint8)
 
-    host_bf16 = vol[None, ..., None].astype(ml_dtypes.bfloat16)
-
-    def whole_run():
-        return np.asarray(whole_volume_mask(params, jnp.asarray(host_bf16)))
-
-    _ = whole_run()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        wv = whole_run()
-    whole_vols_per_sec = reps / (time.perf_counter() - t0)
-
-    # whole-volume with uint8 upload (lossy, agreement reported)
-    lo = float(vol.min())
-    scale = (float(vol.max()) - lo) / 255.0
-    host_u8 = np.round((vol[None, ..., None] - lo) / scale).astype(np.uint8)
-    dq = jnp.asarray([scale, lo], jnp.float32)
+    # main whole-volume path: the same lossless uint8 HU-coded upload
+    host_u8 = codes[None, ..., None]
+    dq = jnp.asarray(dequant, jnp.float32)
 
     @jax.jit
     def whole_volume_mask_u8(params, q, dq):
-        v = q.astype(jnp.bfloat16) * dq[0] + dq[1]
+        # keep the network input bf16: the f32 dequant constants would
+        # otherwise promote the whole forward to f32
+        v = (q.astype(jnp.bfloat16) * dq[0] + dq[1]).astype(jnp.bfloat16)
         return whole_volume_mask(params, v)
 
     def whole_run_u8():
         return np.asarray(whole_volume_mask_u8(params, jnp.asarray(host_u8), dq))
 
     wv_u8 = whole_run_u8()
-    whole_agree_u8 = float((wv_u8 == wv).mean())
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        whole_run_u8()
-    whole_u8_vols_per_sec = reps / (time.perf_counter() - t0)
+
+    # comparator: bf16 upload of the host-normalized volume
+    host_bf16 = vol[None, ..., None].astype(ml_dtypes.bfloat16)
+
+    def whole_run_bf16():
+        return np.asarray(whole_volume_mask(params, jnp.asarray(host_bf16)))
+
+    wv_bf16 = whole_run_bf16()
+    whole_agree_u8_vs_bf16 = float((wv_u8 == wv_bf16).mean())
+    wmed = interleaved_medians(
+        {"u8": whole_run_u8, "bf16": whole_run_bf16}, reps
+    )
+    whole_vols_per_sec = 1.0 / wmed["u8"]
+    whole_bf16_vols_per_sec = 1.0 / wmed["bf16"]
 
     n_patches = len(grid_positions(VOL, PATCH, 0.5))
     flops_per_patch = vnet3d_fwd_flops(96, 16, NUM_CLASSES)
@@ -219,34 +266,48 @@ def main():
     state, m = trainer._train_step(trainer.state, dev_batch)  # compile
     _ = float(m["loss"])  # real sync (block_until_ready is a relay no-op)
     steps = 10
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, m = trainer._train_step(state, dev_batch)
-    _ = float(m["loss"])  # drain the queue before stopping the clock
-    train_steps_per_sec = steps / (time.perf_counter() - t0)
+    holder = {"state": state}  # chain across passes: the step DONATES state
+
+    def train_pass():
+        s = holder["state"]
+        for _ in range(steps):
+            s, mm = trainer._train_step(s, dev_batch)
+        _ = float(mm["loss"])  # drain the queue before stopping the clock
+        holder["state"] = s
+
+    train_steps_per_sec = steps / median_time(train_pass, 3)
 
     print(
         json.dumps(
             {
-                "metric": "VNet3d sliding-window inference (160x160x192 vol, 96^3 patches, 50% overlap, bf16)",
+                "metric": "VNet3d sliding-window inference (160x160x192 integer-HU vol, 96^3 patches, 50% overlap, bf16 compute, lossless uint8 HU-coded upload)",
                 "value": round(vols_per_sec, 4),
                 "unit": "volumes/sec/chip",
                 "vs_baseline": round(vols_per_sec / baseline_vols_per_sec, 3),
                 "extra": {
                     "platform": platform,
+                    "uint8_coded_voxel_agreement_vs_f32_upload": round(
+                        agreement_u8_vs_f32, 5
+                    ),
+                    "bf16_upload_vols_per_sec": round(vols_per_sec_bf16, 4),
+                    "bf16_upload_voxel_agreement_vs_f32": round(
+                        agreement_bf16_vs_f32, 5
+                    ),
                     "whole_volume_vols_per_sec": round(whole_vols_per_sec, 4),
                     "whole_volume_vs_matched_baseline": round(
                         whole_vols_per_sec / base_whole, 3
+                    ),
+                    "whole_volume_bf16_upload_vols_per_sec": round(
+                        whole_bf16_vols_per_sec, 4
+                    ),
+                    "whole_volume_u8_vs_bf16_agreement": round(
+                        whole_agree_u8_vs_bf16, 5
                     ),
                     "overlap25_vols_per_sec": round(vols_per_sec_25, 4),
                     "overlap25_vs_matched_baseline": round(
                         vols_per_sec_25 / base25, 3
                     ),
                     "overlap25_voxel_agreement_vs_50": round(agreement_25_vs_50, 5),
-                    "uint8_upload_vols_per_sec": round(vols_per_sec_u8, 4),
-                    "uint8_upload_voxel_agreement": round(agreement_u8, 5),
-                    "whole_volume_uint8_vols_per_sec": round(whole_u8_vols_per_sec, 4),
-                    "whole_volume_uint8_agreement": round(whole_agree_u8, 5),
                     "trained_dice_evidence": "config3: 0.9754 @25% vs 0.9613 @50% vs 0.9906 whole-volume (BASELINE.md)",
                     "patches_per_volume": int(n_patches),
                     "unet3d_train_steps_per_sec_112x112x128_bs1": round(

@@ -221,11 +221,17 @@ def config3(tmp):
         return probs.astype(jnp.float32)
 
     out = {}
-    for tag, ov, bs in (("overlap50", 0.5, 27), ("overlap25", 0.25, 12)):
+    for tag, ov, bs, kw in (
+        ("overlap50", 0.5, 27, {}),
+        ("overlap25", 0.25, 12, {}),
+        # generic (range/255) 8-bit upload on a TRAINED net — evidence for
+        # the lossy-general case; HU-coded uploads are exact by construction
+        ("overlap50_u8", 0.5, 27, {"transfer_dtype": "uint8"}),
+    ):
         dices = []
         for v_, g_ in zip(vv, vm):
             mask = sliding_window_inference(v_, shape, apply_fn, 1, bs, overlap=ov,
-                                            return_mask=True)
+                                            return_mask=True, **kw)
             dices.append(dice_of(mask, g_))
         out[tag + "_dice"] = float(np.mean(dices))
     # whole volume

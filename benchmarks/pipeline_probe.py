@@ -34,9 +34,10 @@ def apply_fn(patches):
 
 VOL = (160, 160, 192)
 vol = np.random.default_rng(0).normal(size=(*VOL, 1)).astype(np.float32)
-positions = jnp.asarray(grid_positions(VOL, (96, 96, 96), 0.5))
-pos25 = jnp.asarray(grid_positions(VOL, (96, 96, 96), 0.25))
-print("patches: 50%:", positions.shape[0], "25%:", pos25.shape[0], flush=True)
+# positions are a STATIC arg of _sliding_window_jit (baked as HLO consts)
+positions = tuple(map(tuple, grid_positions(VOL, (96, 96, 96), 0.5).tolist()))
+pos25 = tuple(map(tuple, grid_positions(VOL, (96, 96, 96), 0.25).tolist()))
+print("patches: 50%:", len(positions), "25%:", len(pos25), flush=True)
 
 # (a) device-resident: extract+fwd+merge+argmax only
 dev_vol = jax.device_put(jnp.asarray(vol))

@@ -220,3 +220,75 @@ def test_sliding_window_uint8_transfer():
         transfer_dtype="uint8",
     )
     assert (m1 == m2).mean() > 0.999
+
+
+def test_sliding_window_hu_coded_uint8_lossless():
+    """The LOSSLESS uint8 path: integer-HU CT truncated to a <=255-HU
+    window codes exactly into 1 byte/voxel; the meanstd normalization is
+    folded into the device-side dequant affine.  Inputs reconstruct to f32
+    rounding and the mask matches the host-normalized f32 upload path."""
+    from tpuseg.data.normalize import truncate_and_normalize
+
+    rng = np.random.default_rng(2)
+    hu = rng.integers(-300, 400, size=(24, 24, 32)).astype(np.float32)
+    hu[6:18, 6:18, 8:24] = rng.integers(20, 90, size=(12, 12, 16))
+
+    lo, hi = -100.0, 100.0
+    trunc = np.clip(hu, lo, hi)
+    mean, std = float(trunc.mean()), float(trunc.std())
+    normalized = truncate_and_normalize(hu, hi, lo, "meanstd")
+    codes = (trunc - lo).astype(np.uint8)  # span 200 <= 255: exact
+    dequant = (1.0 / std, (lo - mean) / std)
+
+    # probs = network input passthrough -> merged probs compare the actual
+    # dequantized network inputs between the two transfer paths
+    def ident(patches):
+        return jnp.concatenate([patches, -patches], axis=-1).astype(jnp.float32)
+
+    p_f32 = sliding_window_inference(normalized, (16, 16, 16), ident, 2, 4)
+    p_u8 = sliding_window_inference(
+        codes, (16, 16, 16), ident, 2, 4, dequant=dequant
+    )
+    np.testing.assert_allclose(p_f32, p_u8, atol=2e-6)
+
+    def apply_fn(patches):
+        s = jnp.mean(patches, axis=-1, keepdims=True)
+        p1 = jax.nn.sigmoid(3.0 * s)
+        return jnp.concatenate([1 - p1, p1], axis=-1)
+
+    m_f32 = sliding_window_inference(
+        normalized, (16, 16, 16), apply_fn, 2, 4, return_mask=True
+    )
+    m_u8 = sliding_window_inference(
+        codes, (16, 16, 16), apply_fn, 2, 4, return_mask=True, dequant=dequant
+    )
+    np.testing.assert_array_equal(m_f32, m_u8)
+
+
+def test_infer_volume_patched_uint8_transfer():
+    """infer_volume_patched(transfer_dtype='uint8') folds the HU window
+    into the coded upload and matches the default f32 path on integer-HU
+    volumes (both window orders of the reference: (-100,100) VNet3d and
+    (-1024,-800) UNet3d lungs)."""
+    from tpuseg.infer.volume import infer_volume_patched
+
+    rng = np.random.default_rng(3)
+
+    def apply_fn(patches):
+        s = jnp.mean(patches, axis=-1, keepdims=True)
+        p1 = jax.nn.sigmoid(2.0 * s)
+        return jnp.concatenate([1 - p1, p1], axis=-1)
+
+    for upper, lower, gen_lo, gen_hi in ((100, -100, -300, 400), (-800, -1024, -1100, -700)):
+        hu = rng.integers(gen_lo, gen_hi, size=(24, 24, 32)).astype(np.float32)
+        src = Volume(hu)
+        m_f32 = infer_volume_patched(
+            src, apply_fn, (16, 16, 16), num_classes=2,
+            hu_window=(upper, lower, "meanstd"), batch_size=4,
+        )
+        m_u8 = infer_volume_patched(
+            src, apply_fn, (16, 16, 16), num_classes=2,
+            hu_window=(upper, lower, "meanstd"), batch_size=4,
+            transfer_dtype="uint8",
+        )
+        assert (m_f32.array == m_u8.array).mean() > 0.9999

@@ -243,8 +243,13 @@ class _Seg3dMixin:
         newSpacing=(0.5, 0.5, 0.5),
         patch=None,
         batch_size: int = 8,
+        transfer_dtype=None,
     ) -> Volume:
-        """Batched sliding-window inference (`modelUnet.py:707`)."""
+        """Batched sliding-window inference (`modelUnet.py:707`).
+
+        ``transfer_dtype="uint8"`` uploads 1-byte HU codes (lossless for
+        integer-HU CT: the [-1024,-800] window spans 224 levels) — use it
+        on link-bound deployments."""
         self._ensure_trainer()
         patch = patch or (self.image_depth, self.image_height, self.image_width)
 
@@ -260,6 +265,7 @@ class _Seg3dMixin:
             new_spacing_xyz=newSpacing,
             hu_window=(-800, -1024, "meanstd"),
             batch_size=batch_size,
+            transfer_dtype=transfer_dtype,
         )
 
 

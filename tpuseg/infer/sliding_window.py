@@ -63,13 +63,16 @@ def _gaussian_patch_weight(patch, sigma_scale: float = 0.125):
 @partial(
     jax.jit,
     static_argnames=(
-        "apply_fn", "patch", "batch_size", "num_classes", "gaussian",
-        "mask_only", "pack_mask",
+        "positions", "apply_fn", "patch", "batch_size", "num_classes",
+        "gaussian", "mask_only", "pack_mask",
     ),
 )
 def _sliding_window_jit(
     volume,  # (D, H, W, C)
-    positions,  # (P, 3) int32
+    positions,  # static tuple-of-tuples: the grid is a pure function of the
+    #             (already shape-specialized) volume/patch shapes, so baking
+    #             it as an HLO constant saves one ~28 ms host->device RPC
+    #             per call on relay-type links
     apply_fn,  # (N, *patch, C) -> (N, *patch, num_classes) probabilities
     patch: Tuple[int, int, int],
     batch_size: int,
@@ -84,6 +87,7 @@ def _sliding_window_jit(
     if dequant is not None:
         volume = volume.astype(jnp.bfloat16) * dequant[0] + dequant[1]
     c_in = volume.shape[-1]
+    positions = jnp.asarray(np.asarray(positions, np.int32))
     n_pos = positions.shape[0]
     n_batches = -(-n_pos // batch_size)
     pad_to = n_batches * batch_size
@@ -166,6 +170,7 @@ def sliding_window_inference(
     gaussian: bool = False,
     transfer_dtype: Optional[str] = None,
     pack_mask: bool = False,
+    dequant: Optional[Sequence[float]] = None,
 ):
     """Run `apply_fn` over an overlapping patch grid of `volume`
     ((D,H,W) or (D,H,W,C)) and return merged class probabilities
@@ -179,8 +184,18 @@ def sliding_window_inference(
         (the model computes in bf16 anyway; normalized intensities lose
         ~3 decimal digits, well below segmentation sensitivity);
       * ``transfer_dtype="uint8"`` — quantize the volume to 256 levels
-        over its range and dequantize on device (LOSSY: quantization step
-        = range/255; measure mask agreement before adopting);
+        over its range and dequantize on device (LOSSY in general:
+        quantization step = range/255; measure mask agreement before
+        adopting — but see ``dequant`` below for the lossless case);
+      * ``dequant=(scale, offset)`` with a uint8 ``volume`` — the caller
+        has already coded the volume; it is uploaded as-is (1 byte/voxel)
+        and the network input is ``code * scale + offset``, computed on
+        device.  For HU-windowed CT pipelines this is LOSSLESS: the
+        reference truncates to a ≤255-HU window before meanstd
+        normalization (`modelVNet.py:681` [-100,100], `modelUnet.py:710`
+        [-1024,-800]), so integer-HU voxels code exactly into uint8 at
+        1 HU/level and the normalization folds into (scale, offset) —
+        see `infer_volume_patched(transfer_dtype="uint8")`;
       * ``pack_mask=True`` (binary/2-class masks only) — fetch 1
         bit/voxel instead of 1 byte, unpacked host-side.
     All default OFF; the defaults are bit-identical to round-1 behavior.
@@ -188,8 +203,12 @@ def sliding_window_inference(
     vol = np.asarray(volume)
     if vol.ndim == 3:
         vol = vol[..., None]
-    dequant = None
-    if transfer_dtype == "bfloat16":
+    if dequant is not None:
+        if vol.dtype != np.uint8:
+            raise ValueError("explicit dequant requires a uint8-coded volume")
+        if not isinstance(dequant, jax.Array):  # callers may pre-upload it
+            dequant = jnp.asarray(np.asarray(dequant, np.float32))
+    elif transfer_dtype == "bfloat16":
         import ml_dtypes
 
         vol = vol.astype(ml_dtypes.bfloat16)
@@ -216,7 +235,7 @@ def sliding_window_inference(
     )
     probs, mask = _sliding_window_jit(
         jnp.asarray(padded),
-        jnp.asarray(positions),
+        tuple(map(tuple, positions.tolist())),
         apply_fn,
         tuple(patch),
         batch_size,
@@ -258,7 +277,7 @@ def sliding_window_inference_pipelined(
         padded = np.pad(v, pad) if any(p[1] for p in pad) else v
         positions = grid_positions(padded.shape[:3], patch, overlap)
         _, mask = _sliding_window_jit(
-            jnp.asarray(padded), jnp.asarray(positions), apply_fn,
+            jnp.asarray(padded), tuple(map(tuple, positions.tolist())), apply_fn,
             tuple(patch), batch_size, num_classes,
         )
         if pending is not None:

@@ -113,22 +113,54 @@ def infer_volume_patched(
     batch_size: int = 8,
     overlap: float = 0.5,
     threshold: float = 0.5,
+    transfer_dtype: Optional[str] = None,
+    pack_mask: bool = False,
 ) -> Volume:
     """`modelUnet.py:707` inference_patch(): spacing resample → HU window
     normalize → batched sliding-window (intended 50% overlap, weighted
-    merge) → mask → resample back to original spacing/shape."""
+    merge) → mask → resample back to original spacing/shape.
+
+    ``transfer_dtype="uint8"`` with an HU window whose span fits 255
+    levels uploads the truncated volume as 1-byte HU codes and folds the
+    meanstd/maxmin normalization into an on-device affine — LOSSLESS for
+    integer-HU sources (every CT is), and the upload is 4x smaller than
+    f32.  Wider windows quantize at span/255 per level (still finer than
+    the window-relative bf16 step).  ``transfer_dtype="bfloat16"`` halves
+    the upload of the host-normalized volume instead.
+    """
     work = (
         resample_to_spacing(vol, new_spacing_xyz, "linear")
         if new_spacing_xyz is not None
         else vol
     )
     arr = work.array.astype(np.float32)
+    dequant = None
     if hu_window is not None:
         upper, lower, method = hu_window
-        arr = truncate_and_normalize(arr, upper, lower, method)
+        lo, hi = min(lower, upper), max(lower, upper)
+        if transfer_dtype == "uint8":
+            # code the TRUNCATED (pre-normalization) HU values: exact for
+            # integer HU when the window spans <= 255 levels
+            trunc = np.clip(arr, lo, hi)
+            span = hi - lo
+            step = 1.0 if span <= 255 else span / 255.0
+            codes = np.clip(np.round((trunc - lo) / step), 0, 255).astype(np.uint8)
+            if method == "meanstd":
+                mean, std = float(trunc.mean()), float(trunc.std()) or 1.0
+                dequant = (step / std, (lo - mean) / std)
+            elif method == "maxmin":
+                tmin, rng = float(trunc.min()), float(trunc.max() - trunc.min()) or 1.0
+                dequant = (step / rng, (lo - tmin) / rng)
+            else:
+                raise ValueError(method)
+            arr = codes
+            transfer_dtype = None
+        else:
+            arr = truncate_and_normalize(arr, upper, lower, method)
     mask = sliding_window_inference(
         arr, patch_dhw, apply_fn, num_classes, batch_size, overlap,
-        return_mask=True,
+        return_mask=True, transfer_dtype=transfer_dtype,
+        pack_mask=pack_mask, dequant=dequant,
     )
     mask_vol = Volume(mask.astype(np.uint8))
     mask_vol.copy_geometry_from(work)

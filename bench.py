@@ -223,11 +223,25 @@ def main():
 
     wv_bf16 = whole_run_bf16()
     whole_agree_u8_vs_bf16 = float((wv_u8 == wv_bf16).mean())
+
+    # throughput mode: batch 4 volumes per upload/program/fetch — the
+    # ~28 ms fixed cost of each RPC (upload, execute, fetch) amortizes
+    # across the batch even though the serial relay cannot PIPELINE
+    # volumes (measured round 2)
+    WB = 4
+    host_u8_b = np.broadcast_to(host_u8, (WB, *VOL, 1)).copy()
+
+    def whole_run_u8_b4():
+        return np.asarray(whole_volume_mask_u8(params, jnp.asarray(host_u8_b), dq))
+
+    whole_run_u8_b4()
     wmed = interleaved_medians(
-        {"u8": whole_run_u8, "bf16": whole_run_bf16}, reps
+        {"u8": whole_run_u8, "bf16": whole_run_bf16, "u8b4": whole_run_u8_b4},
+        reps,
     )
     whole_vols_per_sec = 1.0 / wmed["u8"]
     whole_bf16_vols_per_sec = 1.0 / wmed["bf16"]
+    whole_b4_vols_per_sec = WB / wmed["u8b4"]
 
     n_patches = len(grid_positions(VOL, PATCH, 0.5))
     flops_per_patch = vnet3d_fwd_flops(96, 16, NUM_CLASSES)
@@ -299,6 +313,12 @@ def main():
                     ),
                     "whole_volume_bf16_upload_vols_per_sec": round(
                         whole_bf16_vols_per_sec, 4
+                    ),
+                    "whole_volume_batch4_vols_per_sec": round(
+                        whole_b4_vols_per_sec, 4
+                    ),
+                    "whole_volume_batch4_vs_baseline": round(
+                        whole_b4_vols_per_sec / baseline_vols_per_sec, 3
                     ),
                     "whole_volume_u8_vs_bf16_agreement": round(
                         whole_agree_u8_vs_bf16, 5

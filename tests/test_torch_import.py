@@ -1,0 +1,252 @@
+"""Checkpoint migration: reference .pth state_dicts -> tpuseg params.
+
+Builds torch networks whose state_dict KEYS match the reference's
+(`networks/Unet{2,3}d.py`, `networks/VNet2d.py` — same member names in 3D),
+runs the torch forward, imports the state_dict with
+tpuseg.compat.torch_import, and pins forward parity of the converted
+parameters."""
+from collections import OrderedDict
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tpuseg.compat.torch_import import (  # noqa: E402
+    params_from_torch_checkpoint,
+    unet_params_from_torch,
+    vnet_params_from_torch,
+)
+from tpuseg.models.unet import UNet  # noqa: E402
+from tpuseg.models.vnet import VNet  # noqa: E402
+
+# The mirrors use flax's GN epsilon so the test pins the importer's
+# name/layout MAPPING exactly (atol 1e-4 for f32 accumulation).  Real
+# reference checkpoints ran with torch's eps=1e-5; that fixed semantic
+# difference is documented in tpuseg/compat/torch_import.py and is
+# negligible at realistic feature-map resolutions.
+GN_EPS = 1e-6
+
+
+def _unet_block(conv, cin, f, name):
+    return tnn.Sequential(OrderedDict([
+        (name + "conv1", conv(cin, f, 3, padding=1, bias=False)),
+        (name + "norm1", tnn.GroupNorm(8, f, eps=GN_EPS)),
+        (name + "relu1", tnn.ReLU()),
+        (name + "conv2", conv(f, f, 3, padding=1, bias=False)),
+        (name + "norm2", tnn.GroupNorm(8, f, eps=GN_EPS)),
+        (name + "relu2", tnn.ReLU()),
+    ]))
+
+
+class _TorchUNet(tnn.Module):
+    """Reference-named UNet mirror (`networks/Unet3d.py:16-62`)."""
+
+    def __init__(self, ndim, cin, ncls, f):
+        super().__init__()
+        conv = tnn.Conv2d if ndim == 2 else tnn.Conv3d
+        tconv = tnn.ConvTranspose2d if ndim == 2 else tnn.ConvTranspose3d
+        self.pool = tnn.MaxPool2d(2, 2) if ndim == 2 else tnn.MaxPool3d(2, 2)
+        self.encoder1 = _unet_block(conv, cin, f, "enc1")
+        self.encoder2 = _unet_block(conv, f, f * 2, "enc2")
+        self.encoder3 = _unet_block(conv, f * 2, f * 4, "enc3")
+        self.encoder4 = _unet_block(conv, f * 4, f * 8, "enc4")
+        self.bottleneck = _unet_block(conv, f * 8, f * 16, "bottleneck")
+        self.upconv4 = tconv(f * 16, f * 8, 2, 2)
+        self.decoder4 = _unet_block(conv, f * 16, f * 8, "dec4")
+        self.upconv3 = tconv(f * 8, f * 4, 2, 2)
+        self.decoder3 = _unet_block(conv, f * 8, f * 4, "dec3")
+        self.upconv2 = tconv(f * 4, f * 2, 2, 2)
+        self.decoder2 = _unet_block(conv, f * 4, f * 2, "dec2")
+        self.upconv1 = tconv(f * 2, f, 2, 2)
+        self.decoder1 = _unet_block(conv, f * 2, f, "dec1")
+        self.conv = conv(f, ncls, 1)
+
+    def forward(self, x):
+        e1 = self.encoder1(x)
+        e2 = self.encoder2(self.pool(e1))
+        e3 = self.encoder3(self.pool(e2))
+        e4 = self.encoder4(self.pool(e3))
+        b = self.bottleneck(self.pool(e4))
+        d4 = self.decoder4(torch.cat((self.upconv4(b), e4), 1))
+        d3 = self.decoder3(torch.cat((self.upconv3(d4), e3), 1))
+        d2 = self.decoder2(torch.cat((self.upconv2(d3), e2), 1))
+        d1 = self.decoder1(torch.cat((self.upconv1(d2), e1), 1))
+        return self.conv(d1)
+
+
+class _LU(tnn.Module):
+    def __init__(self, conv, c):
+        super().__init__()
+        self.conv1 = conv(c, c, 3, padding=1)
+        self.bn1 = tnn.GroupNorm(8, c, eps=GN_EPS)
+
+    def forward(self, x):
+        return torch.relu(self.bn1(self.conv1(x)))
+
+
+class _TorchVNet(tnn.Module):
+    """Reference-named VNet mirror (`networks/VNet3d.py:4-158`), eval-mode
+    semantics (dropout inactive)."""
+
+    def __init__(self, ndim, cin, ncls, f):
+        super().__init__()
+        conv = tnn.Conv2d if ndim == 2 else tnn.Conv3d
+        tconv = tnn.ConvTranspose2d if ndim == 2 else tnn.ConvTranspose3d
+
+        class InTr(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = conv(cin, f, 3, padding=1)
+                self.conv2 = conv(cin, f, 1)
+                self.bn1 = tnn.GroupNorm(8, f, eps=GN_EPS)
+
+            def forward(self, x):
+                return torch.relu(self.bn1(self.conv1(x))) + torch.relu(
+                    self.bn1(self.conv2(x))
+                )
+
+        class DownTr(tnn.Module):
+            def __init__(self, ci, co, n):
+                super().__init__()
+                self.down_conv = conv(ci, co, 2, stride=2)
+                self.bn1 = tnn.GroupNorm(8, co, eps=GN_EPS)
+                self.ops = tnn.Sequential(*[_LU(conv, co) for _ in range(n)])
+
+            def forward(self, x):
+                d = torch.relu(self.bn1(self.down_conv(x)))
+                return self.ops(d) + d
+
+        class UpTr(tnn.Module):
+            def __init__(self, ci, co, n):
+                super().__init__()
+                self.up_conv = tconv(ci, co, 2, 2)
+                self.bn = tnn.GroupNorm(8, co, eps=GN_EPS)  # shared for up AND squeeze
+                self.conv = conv(ci, co, 1)
+                self.ops = tnn.Sequential(*[_LU(conv, co) for _ in range(n)])
+
+            def forward(self, x, skip):
+                up = torch.relu(self.bn(self.up_conv(x)))
+                cat = torch.relu(self.bn(self.conv(torch.cat((up, skip), 1))))
+                return self.ops(cat) + cat
+
+        class OutTr(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv = conv(f, ncls, 1)
+
+            def forward(self, x):
+                return self.conv(x)
+
+        self.in_tr = InTr()
+        self.down_tr32 = DownTr(f, f * 2, 2)
+        self.down_tr64 = DownTr(f * 2, f * 4, 3)
+        self.down_tr128 = DownTr(f * 4, f * 8, 3)
+        self.down_tr256 = DownTr(f * 8, f * 16, 3)
+        self.up_tr256 = UpTr(f * 16, f * 8, 3)
+        self.up_tr128 = UpTr(f * 8, f * 4, 3)
+        self.up_tr64 = UpTr(f * 4, f * 2, 2)
+        self.up_tr32 = UpTr(f * 2, f, 1)
+        self.out_tr = OutTr()
+
+    def forward(self, x):
+        o16 = self.in_tr(x)
+        o32 = self.down_tr32(o16)
+        o64 = self.down_tr64(o32)
+        o128 = self.down_tr128(o64)
+        o256 = self.down_tr256(o128)
+        u = self.up_tr256(o256, o128)
+        u = self.up_tr128(u, o64)
+        u = self.up_tr64(u, o32)
+        u = self.up_tr32(u, o16)
+        return self.out_tr(u)
+
+
+def _nchw_to_nlast(a):
+    return np.moveaxis(a, 1, -1)
+
+
+@pytest.mark.parametrize("ndim,size", [(2, 32), (3, 16)])
+def test_unet_torch_import_forward_parity(ndim, size, rng):
+    f, ncls = 8, 3
+    torch.manual_seed(0)  # mirror weights must not depend on test order
+    tm = _TorchUNet(ndim, 1, ncls, f).eval()
+    x = rng.standard_normal((2, 1) + (size,) * ndim).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tm(torch.from_numpy(x)).numpy()
+
+    params = unet_params_from_torch(tm.state_dict())
+    model = UNet(ndim=ndim, num_classes=ncls, features=f)
+    j_logits, _ = model.apply({"params": params}, _nchw_to_nlast(x))
+    np.testing.assert_allclose(
+        np.asarray(j_logits), _nchw_to_nlast(t_logits), atol=1e-4
+    )
+
+
+# VNet's GroupNorm on the 1x1-conv stem path is ill-conditioned for an
+# UNTRAINED net (each output channel is a scalar multiple of the input, so
+# per-group variance ~ w^2*var(x) can be ~1e-4 and f32 variance-formula
+# differences get amplified).  features=16 (the real config, 2 ch/group)
+# plus behavioral assertions (probs atol + identical argmax) pin the
+# mapping without depending on that conditioning.
+@pytest.mark.parametrize("ndim,size", [(2, 32), (3, 32)])
+def test_vnet_torch_import_forward_parity(ndim, size, rng):
+    f, ncls = 16, 2
+    torch.manual_seed(0)
+    tm = _TorchVNet(ndim, 1, ncls, f).eval()
+    x = rng.standard_normal((2, 1) + (size,) * ndim).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tm(torch.from_numpy(x)).numpy()
+        t_probs = torch.softmax(torch.from_numpy(t_logits), 1).numpy()
+
+    params = vnet_params_from_torch(tm.state_dict())
+    model = VNet(ndim=ndim, num_classes=ncls, features=f)
+    j_logits, j_probs = model.apply({"params": params}, _nchw_to_nlast(x))
+    np.testing.assert_allclose(
+        np.asarray(j_probs), _nchw_to_nlast(t_probs), atol=2e-3
+    )
+    assert (
+        np.argmax(np.asarray(j_probs), -1) == np.argmax(_nchw_to_nlast(t_probs), -1)
+    ).mean() > 0.9999
+
+
+def test_checkpoint_roundtrip_via_pth(tmp_path, rng):
+    """torch.save -> params_from_torch_checkpoint(path) end-to-end."""
+    torch.manual_seed(0)
+    tm = _TorchUNet(2, 1, 1, 8).eval()
+    p = tmp_path / "BinaryUNet2d.pth"
+    torch.save(tm.state_dict(), str(p))
+    params = params_from_torch_checkpoint(str(p), "unet")
+    x = rng.standard_normal((1, 1, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tm(torch.from_numpy(x)).numpy()
+    model = UNet(ndim=2, num_classes=1, features=8)
+    j_logits, _ = model.apply({"params": params}, _nchw_to_nlast(x))
+    np.testing.assert_allclose(
+        np.asarray(j_logits), _nchw_to_nlast(t_logits), atol=1e-4
+    )
+
+
+def test_compat_model_load_torch_checkpoint(tmp_path, rng):
+    """BinaryUNet2dModel(inference=True, model_path=*.pth) — the reference's
+    exact deployment pattern (`flask_app.py:16-18`) with a real torch file."""
+    from tpuseg.compat import BinaryUNet2dModel
+
+    torch.manual_seed(0)
+    tm = _TorchUNet(2, 1, 1, 16).eval()
+    p = tmp_path / "BinaryUNet2dSegModel.pth"
+    torch.save(tm.state_dict(), str(p))
+
+    m = BinaryUNet2dModel(64, 64, 1, 1, 2, "BinaryDiceLoss",
+                          inference=True, model_path=str(p))
+    x = rng.standard_normal((1, 64, 64)).astype(np.float32)
+    mask = m.predict(x)
+    with torch.no_grad():
+        t_logit = tm(torch.from_numpy(x[None])).numpy()[0, 0]
+    # compat predict returns 0/1 labels (not the reference's 0/255 bitmap)
+    t_mask = ((1 / (1 + np.exp(-t_logit))) > 0.5).astype(np.uint8)
+    assert (mask == t_mask).mean() > 0.999

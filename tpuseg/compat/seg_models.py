@@ -99,11 +99,36 @@ class _SegModelBase:
         if inference:
             print(f"Loading model {model_path}")
             self._ensure_trainer()
-            if model_path and os.path.isdir(os.path.dirname(model_path) or "."):
+            if model_path and os.path.isfile(model_path) and str(model_path).endswith(
+                (".pth", ".pt")
+            ):
+                # a checkpoint saved by the reference torch framework
+                # (`modelUnet.py:943` torch.save(state_dict)) — import it
+                self.load_torch_checkpoint(model_path)
+            elif model_path and os.path.isdir(os.path.dirname(model_path) or "."):
                 # model_path may be the run dir or the dir containing best/
                 load_dir = model_path if os.path.isdir(model_path) else os.path.dirname(model_path)
                 self.trainer.load(load_dir, "best")
             print("Model loaded!")
+
+    def load_torch_checkpoint(self, path_or_state_dict):
+        """One-line migration from the reference framework: load a torch
+        ``.pth`` state_dict (as saved by `modelUnet.py:943`) into this
+        model's parameters.  Layout/naming conversion in
+        `tpuseg.compat.torch_import` (forward parity pinned by tests)."""
+        import jax
+
+        from tpuseg.compat.torch_import import params_from_torch_checkpoint
+
+        self._ensure_trainer()
+        params = params_from_torch_checkpoint(path_or_state_dict, self.network)
+        import jax.numpy as jnp
+
+        # trainer params are the full flax variables dict {"params": tree}
+        self.trainer.state["params"] = jax.tree_util.tree_map(
+            jnp.asarray, {"params": params}
+        )
+        self._jit_forward = None  # drop any forward jitted on old params
 
     # ------------------------------------------------------------ plumbing
     def _ensure_trainer(self, epochs: int = 1, lr: float = 1e-3):

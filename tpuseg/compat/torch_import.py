@@ -1,0 +1,165 @@
+"""Import reference PyTorch checkpoints (.pth state_dicts) into tpuseg.
+
+Migration path for users of the reference framework: its Model classes
+save bare ``state_dict()`` files (`/root/reference/model/modelUnet.py:943`)
+with the module names of `networks/Unet{2,3}d.py` / `networks/VNet{2,3}d.py`.
+These functions translate such a state_dict into the flax parameter pytree
+of the equivalent tpuseg model (`tpuseg.models.unet.UNet` /
+`tpuseg.models.vnet.VNet`), converting layouts:
+
+  * Conv(Transpose)Nd weights: torch ``(O, I, *k)`` / ``(I, O, *k)`` →
+    channels-last flax ``(*k, I, O)`` (transpose convs additionally flip
+    their spatial taps — tpuseg's ConvTransposeND convention, pinned by
+    tests/test_torch_parity.py);
+  * GroupNorm ``weight``/``bias`` → ``scale``/``bias``.
+
+The reference's UpTransition reuses ONE GroupNorm module for both the
+up-conv output and the 1x1 squeeze output (`VNet3d.py:64,73-74` — shared
+parameters); tpuseg uses two GN instances, so the shared tensor is loaded
+into both (identical math: GN has no running state).
+
+Forward parity of an imported checkpoint is pinned by
+tests/test_torch_import.py.  Residual difference is ~1e-4 on logits and
+comes from the GroupNorm epsilon (torch defaults to 1e-5, flax to 1e-6);
+it cannot be folded into the weights (it sits under the data-dependent
+variance) and is far below segmentation sensitivity.
+"""
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+
+def _np(t):
+    if isinstance(t, np.ndarray):
+        return np.asarray(t, np.float32)
+    return np.asarray(t.detach().cpu().numpy(), np.float32)  # torch tensor
+
+
+def _conv_kernel(w) -> np.ndarray:
+    """torch Conv (O, I, *k) -> flax (*k, I, O)."""
+    w = _np(w)
+    nd = w.ndim - 2
+    return np.transpose(w, tuple(range(2, 2 + nd)) + (1, 0))
+
+
+def _tconv_kernel(w) -> np.ndarray:
+    """torch ConvTranspose (I, O, *k) -> ConvTransposeND (*k, I, O),
+    spatial taps flipped (see tests/test_torch_parity.py)."""
+    w = _np(w)
+    nd = w.ndim - 2
+    k = np.transpose(w, tuple(range(2, 2 + nd)) + (0, 1))
+    return k[(slice(None, None, -1),) * nd].copy()
+
+
+def _gn(sd, prefix):
+    return {"scale": _np(sd[prefix + ".weight"]), "bias": _np(sd[prefix + ".bias"])}
+
+
+def _conv(sd, prefix, bias=True):
+    out = {"kernel": _conv_kernel(sd[prefix + ".weight"])}
+    if bias:
+        out["bias"] = _np(sd[prefix + ".bias"])
+    return out
+
+
+def unet_params_from_torch(state_dict: Mapping, levels: int = 4) -> dict:
+    """Reference UNet2d/UNet3d state_dict -> tpuseg UNet params pytree.
+
+    Key map (`networks/Unet3d.py:16-34,64-86`): encoder{i}.enc{i}conv{1,2}/
+    norm{1,2} -> ConvBlock_{i-1}; bottleneck -> ConvBlock_{levels};
+    upconv{l} -> ConvTransposeND_{levels-l}; decoder{l} ->
+    ConvBlock_{2*levels-l}; conv -> OutputHead_0."""
+    sd = dict(state_dict)
+    params: dict = {}
+
+    def block(tname):
+        return {
+            "ConvND_0": {"Conv_0": {"kernel": _conv_kernel(sd[f"{tname}conv1.weight"])}},
+            "GroupNorm_0": _gn(sd, f"{tname}norm1"),
+            "ConvND_1": {"Conv_0": {"kernel": _conv_kernel(sd[f"{tname}conv2.weight"])}},
+            "GroupNorm_1": _gn(sd, f"{tname}norm2"),
+        }
+
+    for i in range(levels):
+        params[f"ConvBlock_{i}"] = block(f"encoder{i + 1}.enc{i + 1}")
+    params[f"ConvBlock_{levels}"] = block("bottleneck.bottleneck")
+    for j in range(levels):
+        l = levels - j  # upconv4..1 / decoder4..1
+        params[f"ConvTransposeND_{j}"] = {
+            "ConvTranspose_0": {
+                "kernel": _tconv_kernel(sd[f"upconv{l}.weight"]),
+                "bias": _np(sd[f"upconv{l}.bias"]),
+            }
+        }
+        params[f"ConvBlock_{levels + 1 + j}"] = block(f"decoder{l}.dec{l}")
+    params["OutputHead_0"] = {"ConvND_0": {"Conv_0": _conv(sd, "conv")}}
+    return params
+
+
+def vnet_params_from_torch(state_dict: Mapping) -> dict:
+    """Reference VNet2d/VNet3d state_dict -> tpuseg VNet params pytree.
+
+    Key map (`networks/VNet3d.py:102-127`): in_tr -> InputTransition_0;
+    down_tr{32,64,128,256} -> DownTransition_{0..3}; up_tr{256,128,64,32}
+    -> UpTransition_{0..3}; out_tr.conv -> OutputHead_0."""
+    sd = dict(state_dict)
+    params: dict = {}
+
+    def luconvs(tname, n):
+        return {
+            f"LUConv_{j}": {
+                "ConvND_0": {"Conv_0": _conv(sd, f"{tname}.ops.{j}.conv1")},
+                "GroupNorm_0": _gn(sd, f"{tname}.ops.{j}.bn1"),
+            }
+            for j in range(n)
+        }
+
+    params["InputTransition_0"] = {
+        "ConvND_0": {"Conv_0": _conv(sd, "in_tr.conv1")},
+        "ConvND_1": {"Conv_0": _conv(sd, "in_tr.conv2")},
+        "GroupNorm_0": _gn(sd, "in_tr.bn1"),
+    }
+    for i, (tag, n) in enumerate((("32", 2), ("64", 3), ("128", 3), ("256", 3))):
+        t = f"down_tr{tag}"
+        params[f"DownTransition_{i}"] = {
+            "ConvND_0": {"Conv_0": _conv(sd, f"{t}.down_conv")},
+            "GroupNorm_0": _gn(sd, f"{t}.bn1"),
+            **luconvs(t, n),
+        }
+    for i, (tag, n) in enumerate((("256", 3), ("128", 3), ("64", 2), ("32", 1))):
+        t = f"up_tr{tag}"
+        shared_bn = _gn(sd, f"{t}.bn")
+        params[f"UpTransition_{i}"] = {
+            "ConvTransposeND_0": {
+                "ConvTranspose_0": {
+                    "kernel": _tconv_kernel(sd[f"{t}.up_conv.weight"]),
+                    "bias": _np(sd[f"{t}.up_conv.bias"]),
+                }
+            },
+            # the reference reuses one GN for up-conv AND squeeze outputs
+            "GroupNorm_0": dict(shared_bn),
+            "ConvND_0": {"Conv_0": _conv(sd, f"{t}.conv")},
+            "GroupNorm_1": dict(shared_bn),
+            **luconvs(t, n),
+        }
+    params["OutputHead_0"] = {"ConvND_0": {"Conv_0": _conv(sd, "out_tr.conv")}}
+    return params
+
+
+_CONVERTERS = {"unet": unet_params_from_torch, "vnet": vnet_params_from_torch}
+
+
+def params_from_torch_checkpoint(path_or_state_dict, arch: str) -> dict:
+    """Load a reference ``.pth`` (path or already-loaded state_dict) into a
+    tpuseg params pytree.  ``arch`` is ``"unet"`` or ``"vnet"`` (2d and 3d
+    share names).  Wrap as ``{"params": ...}`` before ``model.apply``."""
+    sd = path_or_state_dict
+    if isinstance(sd, (str, bytes)) or hasattr(sd, "__fspath__"):
+        import torch
+
+        sd = torch.load(sd, map_location="cpu", weights_only=True)
+    if arch not in _CONVERTERS:
+        raise ValueError(f"arch must be one of {sorted(_CONVERTERS)}, got {arch!r}")
+    return _CONVERTERS[arch](sd)

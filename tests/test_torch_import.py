@@ -250,3 +250,89 @@ def test_compat_model_load_torch_checkpoint(tmp_path, rng):
     # compat predict returns 0/1 labels (not the reference's 0/255 bitmap)
     t_mask = ((1 / (1 + np.exp(-t_logit))) > 0.5).astype(np.uint8)
     assert (mask == t_mask).mean() > 0.999
+
+
+class _TorchResNet(tnn.Module):
+    """Reference-named ResNet mirror (`networks/ResNet2d.py:74-119`);
+    the reference's undefined-`prob` dropout defect is irrelevant here
+    (dropout has no parameters)."""
+
+    def __init__(self, ndim, cin, ncls, f=16):
+        super().__init__()
+        conv = tnn.Conv2d if ndim == 2 else tnn.Conv3d
+
+        class InTr(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = conv(cin, f, 3, padding=1)
+                self.conv2 = conv(cin, f, 1)
+                self.bn1 = tnn.GroupNorm(8, f, eps=GN_EPS)
+
+            def forward(self, x):
+                return torch.relu(self.bn1(self.conv1(x))) + torch.relu(
+                    self.bn1(self.conv2(x))
+                )
+
+        class DownTr(tnn.Module):
+            def __init__(self, ci, co, n):
+                super().__init__()
+                self.down_conv = conv(ci, co, 2, stride=2)
+                self.bn1 = tnn.GroupNorm(8, co, eps=GN_EPS)
+                self.ops = tnn.Sequential(*[_LU(conv, co) for _ in range(n)])
+
+            def forward(self, x):
+                d = torch.relu(self.bn1(self.down_conv(x)))
+                return self.ops(d) + d
+
+        self.in_tr = InTr()
+        self.down_tr32 = DownTr(f, f * 2, 2)
+        self.down_tr64 = DownTr(f * 2, f * 4, 3)
+        self.down_tr128 = DownTr(f * 4, f * 8, 3)
+        self.down_tr256 = DownTr(f * 8, f * 16, 3)
+        self.fc_layers = tnn.Sequential(
+            tnn.Linear(f * 16, 128), tnn.ReLU(), tnn.Linear(128, ncls)
+        )
+
+    def forward(self, x):
+        x = self.in_tr(x)
+        x = self.down_tr32(x)
+        x = self.down_tr64(x)
+        x = self.down_tr128(x)
+        x = self.down_tr256(x)
+        x = x.reshape(x.size(0), x.size(1), -1).mean(dim=2)
+        return self.fc_layers(x)
+
+
+def test_resnet_torch_import_forward_parity(rng):
+    from tpuseg.compat.torch_import import resnet_params_from_torch
+    from tpuseg.models.resnet import ResNetClassifier
+
+    torch.manual_seed(0)
+    tm = _TorchResNet(2, 1, 4).eval()
+    x = rng.standard_normal((2, 1, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tm(torch.from_numpy(x)).numpy()
+
+    model = ResNetClassifier(ndim=2, num_classes=4)
+    init_vars = model.init(jax.random.key(0), _nchw_to_nlast(x))
+    variables = dict(init_vars)
+    variables["params"] = resnet_params_from_torch(tm.state_dict())
+    j_logits = model.apply(variables, _nchw_to_nlast(x))
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits, atol=1e-3)
+
+
+def test_compat_resnet_load_torch_checkpoint(tmp_path, rng):
+    from tpuseg.compat import MutilResNet2dModel
+
+    torch.manual_seed(0)
+    tm = _TorchResNet(2, 1, 4).eval()
+    p = tmp_path / "MutilResNet2d.pth"
+    torch.save(tm.state_dict(), str(p))
+    m = MutilResNet2dModel(64, 64, 1, 4, 2, inference=True, model_path=str(p))
+    x = rng.standard_normal((1, 64, 64)).astype(np.float32)
+    label, probs = m.predict(x)
+    with torch.no_grad():
+        t_logits = tm(torch.from_numpy(x[None])).numpy()[0]
+    assert label == int(np.argmax(t_logits))
+    e = np.exp(t_logits - t_logits.max())
+    np.testing.assert_allclose(probs, e / e.sum(), atol=1e-3)

@@ -64,8 +64,25 @@ class _ResNetModelBase:
 
         if inference and model_path:
             self._ensure_trainer()
-            load_dir = model_path if os.path.isdir(model_path) else os.path.dirname(model_path)
-            self.trainer.load(load_dir, "best")
+            if os.path.isfile(model_path) and str(model_path).endswith((".pth", ".pt")):
+                self.load_torch_checkpoint(model_path)  # reference .pth
+            else:
+                load_dir = model_path if os.path.isdir(model_path) else os.path.dirname(model_path)
+                self.trainer.load(load_dir, "best")
+
+    def load_torch_checkpoint(self, path_or_state_dict):
+        """Load a reference-framework ResNet ``.pth`` state_dict
+        (`modelResNet.py` torch.save) — layouts converted by
+        `tpuseg.compat.torch_import`, parity pinned by tests."""
+        from tpuseg.compat.torch_import import params_from_torch_checkpoint
+
+        self._ensure_trainer()
+        params = params_from_torch_checkpoint(path_or_state_dict, "resnet")
+        # keep the other variable collections (e.g. Grad-CAM perturbations)
+        cur = dict(self.trainer.state["params"])
+        cur["params"] = jax.tree_util.tree_map(jnp.asarray, params)
+        self.trainer.state["params"] = cur
+        self._jit_forward = None
 
     def _ensure_trainer(self, epochs: int = 1, lr: float = 1e-3):
         if self.trainer is None:

@@ -148,7 +148,44 @@ def vnet_params_from_torch(state_dict: Mapping) -> dict:
     return params
 
 
-_CONVERTERS = {"unet": unet_params_from_torch, "vnet": vnet_params_from_torch}
+def resnet_params_from_torch(state_dict: Mapping) -> dict:
+    """Reference ResNet2d/ResNet3d state_dict -> tpuseg ResNetClassifier
+    params pytree (`networks/ResNet2d.py:74-119`: in_tr + down_tr{32..256}
+    encoder, then fc_layers = Linear(256,128) / ReLU / Linear(128, ncls))."""
+    sd = dict(state_dict)
+    params: dict = {}
+    params["InputTransition_0"] = {
+        "ConvND_0": {"Conv_0": _conv(sd, "in_tr.conv1")},
+        "ConvND_1": {"Conv_0": _conv(sd, "in_tr.conv2")},
+        "GroupNorm_0": _gn(sd, "in_tr.bn1"),
+    }
+    for i, (tag, n) in enumerate((("32", 2), ("64", 3), ("128", 3), ("256", 3))):
+        t = f"down_tr{tag}"
+        params[f"DownTransition_{i}"] = {
+            "ConvND_0": {"Conv_0": _conv(sd, f"{t}.down_conv")},
+            "GroupNorm_0": _gn(sd, f"{t}.bn1"),
+            **{
+                f"LUConv_{j}": {
+                    "ConvND_0": {"Conv_0": _conv(sd, f"{t}.ops.{j}.conv1")},
+                    "GroupNorm_0": _gn(sd, f"{t}.ops.{j}.bn1"),
+                }
+                for j in range(n)
+            },
+        }
+    # torch Linear weight (out, in) -> flax Dense kernel (in, out)
+    for di, li in ((0, 0), (1, 2)):
+        params[f"Dense_{di}"] = {
+            "kernel": _np(sd[f"fc_layers.{li}.weight"]).T,
+            "bias": _np(sd[f"fc_layers.{li}.bias"]),
+        }
+    return params
+
+
+_CONVERTERS = {
+    "unet": unet_params_from_torch,
+    "vnet": vnet_params_from_torch,
+    "resnet": resnet_params_from_torch,
+}
 
 
 def params_from_torch_checkpoint(path_or_state_dict, arch: str) -> dict:

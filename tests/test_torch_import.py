@@ -336,3 +336,121 @@ def test_compat_resnet_load_torch_checkpoint(tmp_path, rng):
     assert label == int(np.argmax(t_logits))
     e = np.exp(t_logits - t_logits.max())
     np.testing.assert_allclose(probs, e / e.sum(), atol=1e-3)
+
+
+class _TorchPixGen(tnn.Module):
+    """Reference-named pix2pix generator mirror
+    (`modelPixel2PixelGAN.py:112-170`); InstanceNorms are affine-free."""
+
+    def __init__(self, cin, cout, f=16):
+        super().__init__()
+
+        class LU(tnn.Module):
+            def __init__(self, c):
+                super().__init__()
+                self.conv1 = tnn.Conv2d(c, c, 3, padding=1)
+                self.bn1 = tnn.InstanceNorm2d(c, eps=GN_EPS)
+
+            def forward(self, x):
+                return tnn.functional.leaky_relu(self.bn1(self.conv1(x)), 0.2)
+
+        class InTr(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = tnn.Conv2d(cin, f, 3, padding=1)
+                self.conv2 = tnn.Conv2d(cin, f, 1)
+                self.bn1 = tnn.InstanceNorm2d(f, eps=GN_EPS)
+
+            def forward(self, x):
+                lrelu = tnn.functional.leaky_relu
+                return lrelu(self.bn1(self.conv1(x)), 0.2) + lrelu(
+                    self.bn1(self.conv2(x)), 0.2
+                )
+
+        class DownTr(tnn.Module):
+            def __init__(self, ci, co, n):
+                super().__init__()
+                self.down_conv = tnn.Conv2d(ci, co, 2, stride=2)
+                self.bn1 = tnn.InstanceNorm2d(co, eps=GN_EPS)
+                self.ops = tnn.Sequential(*[LU(co) for _ in range(n)])
+
+            def forward(self, x):
+                d = tnn.functional.leaky_relu(self.bn1(self.down_conv(x)), 0.01)
+                return self.ops(d) + d
+
+        class UpTr(tnn.Module):
+            def __init__(self, ci, co, n):
+                super().__init__()
+                self.up_conv = tnn.ConvTranspose2d(ci, co, 2, 2)
+                self.bn = tnn.InstanceNorm2d(co, eps=GN_EPS)
+                self.conv = tnn.Conv2d(ci, co, 1)
+                self.ops = tnn.Sequential(*[LU(co) for _ in range(n)])
+
+            def forward(self, x, skip):
+                up = torch.relu(self.bn(self.up_conv(x)))
+                cat = torch.relu(self.bn(self.conv(torch.cat((up, skip), 1))))
+                return self.ops(cat) + cat
+
+        class OutTr(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv = tnn.Conv2d(f, cout, 1)
+
+            def forward(self, x):
+                return torch.tanh(self.conv(x))
+
+        self.in_tr = InTr()
+        self.down_tr32 = DownTr(f, f * 2, 2)
+        self.down_tr64 = DownTr(f * 2, f * 4, 3)
+        self.down_tr128 = DownTr(f * 4, f * 8, 3)
+        self.down_tr256 = DownTr(f * 8, f * 16, 3)
+        self.up_tr256 = UpTr(f * 16, f * 8, 3)
+        self.up_tr128 = UpTr(f * 8, f * 4, 3)
+        self.up_tr64 = UpTr(f * 4, f * 2, 2)
+        self.up_tr32 = UpTr(f * 2, f, 1)
+        self.out_tr = OutTr()
+
+    def forward(self, x):
+        o16 = self.in_tr(x)
+        o32 = self.down_tr32(o16)
+        o64 = self.down_tr64(o32)
+        o128 = self.down_tr128(o64)
+        o256 = self.down_tr256(o128)
+        u = self.up_tr256(o256, o128)
+        u = self.up_tr128(u, o64)
+        u = self.up_tr64(u, o32)
+        u = self.up_tr32(u, o16)
+        return self.out_tr(u)
+
+
+def test_pix2pix_generator_torch_import_forward_parity(rng):
+    from tpuseg.compat.torch_import import pix2pix_generator_params_from_torch
+    from tpuseg.models.pix2pix import GeneratorUNet2d
+
+    torch.manual_seed(0)
+    tm = _TorchPixGen(1, 1, 16).eval()
+    x = rng.standard_normal((1, 1, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(x)).numpy()
+
+    params = pix2pix_generator_params_from_torch(tm.state_dict())
+    model = GeneratorUNet2d(out_channels=1, features=16)
+    j_out = model.apply({"params": params}, _nchw_to_nlast(x))
+    # tanh output in [-1,1]: 1e-3 absolute covers the InstanceNorm
+    # conditioning of an untrained net
+    np.testing.assert_allclose(np.asarray(j_out), _nchw_to_nlast(t_out), atol=1e-3)
+
+
+def test_compat_gan_load_torch_generator(tmp_path, rng):
+    from tpuseg.compat.gan_model import Pixel2PixelGAN2dModel
+
+    torch.manual_seed(0)
+    tm = _TorchPixGen(1, 1, 16).eval()
+    p = tmp_path / "Pixel2PixelGan2dbestGmodel.pth"
+    torch.save(tm.state_dict(), str(p))
+    m = Pixel2PixelGAN2dModel(32, 32, 1, 1, 2, inference=True, model_path=str(p))
+    x = rng.standard_normal((1, 32, 32)).astype(np.float32)
+    fake = m.predict(x)
+    with torch.no_grad():
+        t_fake = tm(torch.from_numpy(x[None])).numpy()[0, 0]
+    np.testing.assert_allclose(fake, t_fake, atol=1e-3)

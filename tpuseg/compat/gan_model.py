@@ -50,8 +50,29 @@ class Pixel2PixelGAN2dModel:
             example_hw=(image_height, image_width),
         )
         if inference and model_path:
-            load_dir = model_path if os.path.isdir(model_path) else os.path.dirname(model_path)
-            self.trainer.load(load_dir, "best")
+            if os.path.isfile(model_path) and str(model_path).endswith((".pth", ".pt")):
+                self.load_torch_generator(model_path)  # reference G .pth
+            else:
+                load_dir = model_path if os.path.isdir(model_path) else os.path.dirname(model_path)
+                self.trainer.load(load_dir, "best")
+
+    def load_torch_generator(self, path_or_state_dict):
+        """Load a reference-framework generator ``.pth`` (the best-G /
+        latest-G files of `modelPixel2PixelGAN.py:459-472`) into this
+        model's generator.  Layouts converted by tpuseg.compat.torch_import
+        (parity tested); the discriminator is a tpuseg re-design and is
+        left untouched (it only matters for further training)."""
+        import jax
+        import jax.numpy as jnp
+
+        from tpuseg.compat.torch_import import params_from_torch_checkpoint
+
+        params = params_from_torch_checkpoint(
+            path_or_state_dict, "pix2pix_generator"
+        )
+        self.trainer.state["g_params"] = jax.tree_util.tree_map(
+            jnp.asarray, {"params": params}
+        )
 
     def _dataloader(self, images, targets, shuffle=False):
         ds = RegressionDataset2D(

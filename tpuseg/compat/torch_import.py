@@ -181,10 +181,55 @@ def resnet_params_from_torch(state_dict: Mapping) -> dict:
     return params
 
 
+def pix2pix_generator_params_from_torch(state_dict: Mapping) -> dict:
+    """Reference pix2pix GeneratorUNet2d state_dict -> tpuseg
+    GeneratorUNet2d params (`modelPixel2PixelGAN.py:112-170`).  The
+    reference's InstanceNorm2d layers are affine-free (torch default), so
+    only conv weights exist.  (The discriminator is a tpuseg re-design and
+    not state_dict-compatible; the generator is the deployable artifact.)"""
+    sd = dict(state_dict)
+    params: dict = {
+        "_InputTr_0": {
+            "ConvND_0": {"Conv_0": _conv(sd, "in_tr.conv1")},
+            "ConvND_1": {"Conv_0": _conv(sd, "in_tr.conv2")},
+        }
+    }
+
+    def luconvs(tname, n):
+        return {
+            f"_LUConvIN_{j}": {
+                "ConvND_0": {"Conv_0": _conv(sd, f"{tname}.ops.{j}.conv1")}
+            }
+            for j in range(n)
+        }
+
+    for i, (tag, n) in enumerate((("32", 2), ("64", 3), ("128", 3), ("256", 3))):
+        t = f"down_tr{tag}"
+        params[f"_DownTr_{i}"] = {
+            "ConvND_0": {"Conv_0": _conv(sd, f"{t}.down_conv")},
+            **luconvs(t, n),
+        }
+    for i, (tag, n) in enumerate((("256", 3), ("128", 3), ("64", 2), ("32", 1))):
+        t = f"up_tr{tag}"
+        params[f"_UpTr_{i}"] = {
+            "ConvTransposeND_0": {
+                "ConvTranspose_0": {
+                    "kernel": _tconv_kernel(sd[f"{t}.up_conv.weight"]),
+                    "bias": _np(sd[f"{t}.up_conv.bias"]),
+                }
+            },
+            "ConvND_0": {"Conv_0": _conv(sd, f"{t}.conv")},
+            **luconvs(t, n),
+        }
+    params["ConvND_0"] = {"Conv_0": _conv(sd, "out_tr.conv")}
+    return params
+
+
 _CONVERTERS = {
     "unet": unet_params_from_torch,
     "vnet": vnet_params_from_torch,
     "resnet": resnet_params_from_torch,
+    "pix2pix_generator": pix2pix_generator_params_from_torch,
 }
 
 

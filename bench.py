@@ -108,12 +108,15 @@ def main():
     mean, std = float(trunc.mean()), float(trunc.std())
     vol = ((trunc - mean) / std).astype(np.float32)  # host-normalized f32
     # LOSSLESS uint8 coding: the 200-HU window spans <= 255 integer levels,
-    # so 1 byte/voxel carries the truncated volume EXACTLY; the meanstd
-    # normalization folds into a device-side affine (infer_volume_patched
-    # does the same for the compat inference_patch API).
-    codes = (trunc - HU_LO).astype(np.uint8)
+    # so 1 byte/voxel carries this (integer-HU, unresampled) volume EXACTLY;
+    # the meanstd normalization folds into a device-side affine (the same
+    # hu_code_volume fold serves the compat inference_patch API, where a
+    # preceding linear resample bounds the coding error at <=0.5 HU).
+    from tpuseg.infer.volume import hu_code_volume
+
+    codes, dq_host = hu_code_volume(vol_hu, HU_HI, HU_LO, "meanstd")
     # pre-uploaded once: tiny transfers cost ~28 ms each through the relay
-    dequant = jnp.asarray(np.asarray((1.0 / std, (HU_LO - mean) / std), np.float32))
+    dequant = jnp.asarray(np.asarray(dq_host, np.float32))
 
     # pipeline options (measured round 2, BASELINE.md): uint8 HU-coded
     # upload quarters H2D on the ~60 MB/s relay link (lossless, see above);
@@ -128,16 +131,6 @@ def main():
     # 0.9613 @50%, benchmarks/bench_configs.py config 3) and the
     # TPU-native whole-volume mode are reported alongside with their own
     # matched-work baseline ratios.
-    def median_time(fn, reps):
-        """Per-rep wall times -> median: robust to the pool-shared TPU's
-        sporadic multi-hundred-ms interference spikes (observed +-35%)."""
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fn()
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
     def interleaved_medians(fns, reps):
         """Round-robin the variants so slow pool-contention drift hits all
         of them equally (sequential per-variant windows measured u8 SLOWER
@@ -222,7 +215,12 @@ def main():
         return np.asarray(whole_volume_mask(params, jnp.asarray(host_bf16)))
 
     wv_bf16 = whole_run_bf16()
-    whole_agree_u8_vs_bf16 = float((wv_u8 == wv_bf16).mean())
+    # unpack the bit-packed masks so agreement is PER-VOXEL (a packed-byte
+    # comparison would mis-scale any disagreement by up to 8x)
+    whole_agree_u8_vs_bf16 = float(
+        (np.unpackbits(wv_u8, bitorder="little")
+         == np.unpackbits(wv_bf16, bitorder="little")).mean()
+    )
 
     # throughput mode: batch 4 volumes per upload/program/fetch — the
     # ~28 ms fixed cost of each RPC (upload, execute, fetch) amortizes
@@ -289,7 +287,7 @@ def main():
         _ = float(mm["loss"])  # drain the queue before stopping the clock
         holder["state"] = s
 
-    train_steps_per_sec = steps / median_time(train_pass, 3)
+    train_steps_per_sec = steps / interleaved_medians({"t": train_pass}, 3)["t"]
 
     print(
         json.dumps(

@@ -292,3 +292,16 @@ def test_infer_volume_patched_uint8_transfer():
             transfer_dtype="uint8",
         )
         assert (m_f32.array == m_u8.array).mean() > 0.9999
+
+    # WITH a linear spacing resample (the deployed inference_patch path):
+    # interpolated voxels are non-integer HU, so coding quantizes them at
+    # <=0.5 HU — masks must still agree to well under 1%
+    hu = rng.integers(-300, 400, size=(24, 24, 32)).astype(np.float32)
+    src = Volume(hu, spacing=(1.0, 1.0, 1.0))
+    kw = dict(num_classes=2, hu_window=(100, -100, "meanstd"), batch_size=4,
+              new_spacing_xyz=(0.8, 0.8, 0.8))
+    m_f32 = infer_volume_patched(src, apply_fn, (16, 16, 16), **kw)
+    m_u8 = infer_volume_patched(
+        src, apply_fn, (16, 16, 16), transfer_dtype="uint8", **kw
+    )
+    assert (m_f32.array == m_u8.array).mean() > 0.99

@@ -116,18 +116,15 @@ class _SegModelBase:
         ``.pth`` state_dict (as saved by `modelUnet.py:943`) into this
         model's parameters.  Layout/naming conversion in
         `tpuseg.compat.torch_import` (forward parity pinned by tests)."""
-        import jax
-
         from tpuseg.compat.torch_import import params_from_torch_checkpoint
 
         self._ensure_trainer()
         params = params_from_torch_checkpoint(path_or_state_dict, self.network)
-        import jax.numpy as jnp
-
-        # trainer params are the full flax variables dict {"params": tree}
-        self.trainer.state["params"] = jax.tree_util.tree_map(
-            jnp.asarray, {"params": params}
-        )
+        # trainer params are the full flax variables dict {"params": tree};
+        # keep any other variable collections the network may carry
+        cur = dict(self.trainer.state["params"])
+        cur["params"] = jax.tree_util.tree_map(jnp.asarray, params)
+        self.trainer.state["params"] = cur
         self._jit_forward = None  # drop any forward jitted on old params
 
     # ------------------------------------------------------------ plumbing
@@ -272,8 +269,10 @@ class _Seg3dMixin:
     ) -> Volume:
         """Batched sliding-window inference (`modelUnet.py:707`).
 
-        ``transfer_dtype="uint8"`` uploads 1-byte HU codes (lossless for
-        integer-HU CT: the [-1024,-800] window spans 224 levels) — use it
+        ``transfer_dtype="uint8"`` uploads 1-byte HU codes (the
+        [-1024,-800] window spans 224 levels, 1 HU each; exact for
+        integer HU — after the linear spacing resample interpolated
+        voxels quantize at <=0.5 HU, finer than a bf16 upload) — use it
         on link-bound deployments."""
         self._ensure_trainer()
         patch = patch or (self.image_depth, self.image_height, self.image_width)

@@ -70,7 +70,7 @@ def unet_params_from_torch(state_dict: Mapping, levels: int = 4) -> dict:
     Key map (`networks/Unet3d.py:16-34,64-86`): encoder{i}.enc{i}conv{1,2}/
     norm{1,2} -> ConvBlock_{i-1}; bottleneck -> ConvBlock_{levels};
     upconv{l} -> ConvTransposeND_{levels-l}; decoder{l} ->
-    ConvBlock_{2*levels-l}; conv -> OutputHead_0."""
+    ConvBlock_{2*levels+1-l}; conv -> OutputHead_0."""
     sd = dict(state_dict)
     params: dict = {}
 

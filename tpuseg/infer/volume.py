@@ -41,6 +41,31 @@ def infer_volume(
     return final
 
 
+def hu_code_volume(arr: np.ndarray, upper: float, lower: float, method: str):
+    """Code an HU volume for 1-byte upload: truncate to [lower, upper],
+    quantize to uint8 (1 HU/level when the window spans <= 255, else
+    span/255 per level), and fold the 'meanstd'/'maxmin' normalization of
+    `truncate_and_normalize` into a device-side affine.
+
+    Returns ``(codes_uint8, (scale, offset))`` with
+    ``network_input = codes * scale + offset``.  Exact for integer HU
+    values (quantization error <= step/2 for interpolated ones)."""
+    lo, hi = min(lower, upper), max(lower, upper)
+    trunc = np.clip(np.asarray(arr, np.float32), lo, hi)
+    span = hi - lo
+    step = 1.0 if span <= 255 else span / 255.0
+    codes = np.clip(np.round((trunc - lo) / step), 0, 255).astype(np.uint8)
+    if method == "meanstd":
+        mean, std = float(trunc.mean()), float(trunc.std()) or 1.0
+        dequant = (step / std, (lo - mean) / std)
+    elif method == "maxmin":
+        tmin, rng = float(trunc.min()), float(trunc.max() - trunc.min()) or 1.0
+        dequant = (step / rng, (lo - tmin) / rng)
+    else:
+        raise ValueError(method)
+    return codes, dequant
+
+
 _DEVICE_INFER_CACHE: dict = {}
 
 
@@ -122,11 +147,15 @@ def infer_volume_patched(
 
     ``transfer_dtype="uint8"`` with an HU window whose span fits 255
     levels uploads the truncated volume as 1-byte HU codes and folds the
-    meanstd/maxmin normalization into an on-device affine — LOSSLESS for
-    integer-HU sources (every CT is), and the upload is 4x smaller than
-    f32.  Wider windows quantize at span/255 per level (still finer than
-    the window-relative bf16 step).  ``transfer_dtype="bfloat16"`` halves
-    the upload of the host-normalized volume instead.
+    meanstd/maxmin normalization into an on-device affine; the upload is
+    4x smaller than f32.  Precision: coding is EXACT (bit-lossless) for
+    integer-HU voxel values — i.e. when no resample precedes it or the
+    resample is nearest-neighbor; after a LINEAR spacing resample the
+    interpolated voxels are no longer integers and the coding quantizes
+    them at <= step/2 HU (step = 1 for windows spanning <= 255 levels,
+    span/255 otherwise) — still at least as fine as the bf16 upload's
+    window-relative step.  ``transfer_dtype="bfloat16"`` halves the
+    upload of the host-normalized volume instead.
     """
     work = (
         resample_to_spacing(vol, new_spacing_xyz, "linear")
@@ -137,23 +166,8 @@ def infer_volume_patched(
     dequant = None
     if hu_window is not None:
         upper, lower, method = hu_window
-        lo, hi = min(lower, upper), max(lower, upper)
         if transfer_dtype == "uint8":
-            # code the TRUNCATED (pre-normalization) HU values: exact for
-            # integer HU when the window spans <= 255 levels
-            trunc = np.clip(arr, lo, hi)
-            span = hi - lo
-            step = 1.0 if span <= 255 else span / 255.0
-            codes = np.clip(np.round((trunc - lo) / step), 0, 255).astype(np.uint8)
-            if method == "meanstd":
-                mean, std = float(trunc.mean()), float(trunc.std()) or 1.0
-                dequant = (step / std, (lo - mean) / std)
-            elif method == "maxmin":
-                tmin, rng = float(trunc.min()), float(trunc.max() - trunc.min()) or 1.0
-                dequant = (step / rng, (lo - tmin) / rng)
-            else:
-                raise ValueError(method)
-            arr = codes
+            arr, dequant = hu_code_volume(arr, upper, lower, method)
             transfer_dtype = None
         else:
             arr = truncate_and_normalize(arr, upper, lower, method)

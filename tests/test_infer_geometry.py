@@ -305,3 +305,36 @@ def test_infer_volume_patched_uint8_transfer():
         src, apply_fn, (16, 16, 16), transfer_dtype="uint8", **kw
     )
     assert (m_f32.array == m_u8.array).mean() > 0.99
+
+
+def test_hu_code_volume_edge_cases():
+    from tpuseg.infer.volume import hu_code_volume
+
+    rng = np.random.default_rng(4)
+    # narrow integer window: bit-exact reconstruction
+    hu = rng.integers(-300, 400, size=(8, 8, 8)).astype(np.float32)
+    codes, (s, o) = hu_code_volume(hu, 100, -100, "meanstd")
+    trunc = np.clip(hu, -100, 100)
+    rec = codes.astype(np.float32) * s + o
+    np.testing.assert_allclose(rec, (trunc - trunc.mean()) / trunc.std(), atol=3e-6)
+
+    # wide window (span 1400 > 255): quantization step span/255, error <= step/2
+    codes, (s, o) = hu_code_volume(hu, 400, -1000, "meanstd")
+    trunc = np.clip(hu, -1000, 400)
+    normalized = (trunc - trunc.mean()) / trunc.std()
+    rec = codes.astype(np.float32) * s + o
+    step_norm = (1400 / 255.0) / trunc.std()
+    assert np.abs(rec - normalized).max() <= step_norm / 2 + 1e-6
+
+    # maxmin method maps onto [0, 1]
+    codes, (s, o) = hu_code_volume(hu, 100, -100, "maxmin")
+    rec = codes.astype(np.float32) * s + o
+    trunc = np.clip(hu, -100, 100)
+    expected = (trunc - trunc.min()) / (trunc.max() - trunc.min())
+    np.testing.assert_allclose(rec, expected, atol=3e-6)
+
+    # constant volume: degenerate std/range guarded
+    const = np.full((4, 4, 4), 37.0, np.float32)
+    codes, (s, o) = hu_code_volume(const, 100, -100, "meanstd")
+    rec = codes.astype(np.float32) * s + o
+    np.testing.assert_allclose(rec, 0.0, atol=1e-6)

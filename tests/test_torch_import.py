@@ -454,3 +454,64 @@ def test_compat_gan_load_torch_generator(tmp_path, rng):
     with torch.no_grad():
         t_fake = tm(torch.from_numpy(x[None])).numpy()[0, 0]
     np.testing.assert_allclose(fake, t_fake, atol=1e-3)
+
+
+@pytest.mark.parametrize("arch,mirror,ndim", [("unet", _TorchUNet, 2), ("vnet", _TorchVNet, 3)])
+def test_export_roundtrip_exact(arch, mirror, ndim, rng):
+    """params -> reference-named state_dict -> params is the identity, and
+    the exported tensors equal the original torch ones exactly."""
+    from tpuseg.compat.torch_import import (
+        params_from_torch_checkpoint,
+        params_to_torch_checkpoint,
+    )
+
+    torch.manual_seed(0)
+    tm = mirror(ndim, 1, 2, 16).eval()
+    orig_sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = params_from_torch_checkpoint(tm.state_dict(), arch)
+    exported = params_to_torch_checkpoint({"params": params}, arch)
+    assert set(exported) == set(orig_sd)
+    for k in orig_sd:
+        np.testing.assert_array_equal(exported[k], orig_sd[k]), k
+    # and back again
+    params2 = params_from_torch_checkpoint(exported, arch)
+    for (ka, a), (kb, b) in zip(
+        sorted((("/".join(map(str, k)), v) for k, v in _flat(params).items())),
+        sorted((("/".join(map(str, k)), v) for k, v in _flat(params2).items())),
+    ):
+        assert ka == kb
+        np.testing.assert_array_equal(a, b)
+
+
+def _flat(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flat(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def test_export_via_pth_loads_in_torch(tmp_path, rng):
+    """torch.save'd export is loadable by the torch mirror and reproduces
+    the tpuseg forward."""
+    from tpuseg.compat.torch_import import (
+        params_from_torch_checkpoint,
+        params_to_torch_checkpoint,
+    )
+
+    torch.manual_seed(1)
+    src = _TorchUNet(2, 1, 2, 16).eval()
+    params = params_from_torch_checkpoint(src.state_dict(), "unet")
+    p = tmp_path / "exported.pth"
+    params_to_torch_checkpoint({"params": params}, "unet", str(p))
+
+    dst = _TorchUNet(2, 1, 2, 16)
+    dst.load_state_dict(torch.load(str(p), weights_only=True))
+    dst.eval()
+    x = rng.standard_normal((1, 1, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        a = src(torch.from_numpy(x)).numpy()
+        b = dst(torch.from_numpy(x)).numpy()
+    np.testing.assert_array_equal(a, b)

@@ -235,8 +235,9 @@ _CONVERTERS = {
 
 def params_from_torch_checkpoint(path_or_state_dict, arch: str) -> dict:
     """Load a reference ``.pth`` (path or already-loaded state_dict) into a
-    tpuseg params pytree.  ``arch`` is ``"unet"`` or ``"vnet"`` (2d and 3d
-    share names).  Wrap as ``{"params": ...}`` before ``model.apply``."""
+    tpuseg params pytree.  ``arch`` is one of ``"unet"``, ``"vnet"``,
+    ``"resnet"``, ``"pix2pix_generator"`` (2d and 3d share names).  Wrap as
+    ``{"params": ...}`` before ``model.apply``."""
     sd = path_or_state_dict
     if isinstance(sd, (str, bytes)) or hasattr(sd, "__fspath__"):
         import torch
@@ -245,3 +246,113 @@ def params_from_torch_checkpoint(path_or_state_dict, arch: str) -> dict:
     if arch not in _CONVERTERS:
         raise ValueError(f"arch must be one of {sorted(_CONVERTERS)}, got {arch!r}")
     return _CONVERTERS[arch](sd)
+
+
+# ---------------------------------------------------------------- export
+# The inverse direction: tpuseg-trained parameters -> a reference-named
+# torch state_dict, so weights trained here can be deployed by any
+# torch-side tooling built around the reference framework.
+
+def _conv_kernel_inv(k) -> np.ndarray:
+    """flax (*k, I, O) -> torch Conv (O, I, *k)."""
+    k = np.asarray(k, np.float32)
+    nd = k.ndim - 2
+    return np.transpose(k, (nd + 1, nd) + tuple(range(nd)))
+
+
+def _tconv_kernel_inv(k) -> np.ndarray:
+    """ConvTransposeND (*k, I, O) -> torch ConvTranspose (I, O, *k)."""
+    k = np.asarray(k, np.float32)
+    nd = k.ndim - 2
+    flipped = k[(slice(None, None, -1),) * nd]
+    return np.transpose(flipped, (nd, nd + 1) + tuple(range(nd))).copy()
+
+
+def _emit_conv(out, prefix, node, bias=True):
+    out[prefix + ".weight"] = _conv_kernel_inv(node["Conv_0"]["kernel"])
+    if bias:
+        out[prefix + ".bias"] = np.asarray(node["Conv_0"]["bias"], np.float32)
+
+
+def _emit_gn(out, prefix, node):
+    out[prefix + ".weight"] = np.asarray(node["scale"], np.float32)
+    out[prefix + ".bias"] = np.asarray(node["bias"], np.float32)
+
+
+def unet_params_to_torch(params: Mapping, levels: int = 4) -> dict:
+    """tpuseg UNet params -> reference-named state_dict (numpy tensors;
+    inverse of `unet_params_from_torch`)."""
+    out: dict = {}
+
+    def block(tname, node):
+        out[f"{tname}conv1.weight"] = _conv_kernel_inv(node["ConvND_0"]["Conv_0"]["kernel"])
+        _emit_gn(out, f"{tname}norm1", node["GroupNorm_0"])
+        out[f"{tname}conv2.weight"] = _conv_kernel_inv(node["ConvND_1"]["Conv_0"]["kernel"])
+        _emit_gn(out, f"{tname}norm2", node["GroupNorm_1"])
+
+    for i in range(levels):
+        block(f"encoder{i + 1}.enc{i + 1}", params[f"ConvBlock_{i}"])
+    block("bottleneck.bottleneck", params[f"ConvBlock_{levels}"])
+    for j in range(levels):
+        l = levels - j
+        tnode = params[f"ConvTransposeND_{j}"]["ConvTranspose_0"]
+        out[f"upconv{l}.weight"] = _tconv_kernel_inv(tnode["kernel"])
+        out[f"upconv{l}.bias"] = np.asarray(tnode["bias"], np.float32)
+        block(f"decoder{l}.dec{l}", params[f"ConvBlock_{levels + 1 + j}"])
+    _emit_conv(out, "conv", params["OutputHead_0"]["ConvND_0"])
+    return out
+
+
+def vnet_params_to_torch(params: Mapping) -> dict:
+    """tpuseg VNet params -> reference-named state_dict (inverse of
+    `vnet_params_from_torch`; the reference's shared up-stage GN is taken
+    from GroupNorm_0 — on an imported checkpoint both copies are equal,
+    and on a tpuseg-trained one the export necessarily picks one)."""
+    out: dict = {}
+
+    def luconvs(tname, node, n):
+        for j in range(n):
+            _emit_conv(out, f"{tname}.ops.{j}.conv1", node[f"LUConv_{j}"]["ConvND_0"])
+            _emit_gn(out, f"{tname}.ops.{j}.bn1", node[f"LUConv_{j}"]["GroupNorm_0"])
+
+    it = params["InputTransition_0"]
+    _emit_conv(out, "in_tr.conv1", it["ConvND_0"])
+    _emit_conv(out, "in_tr.conv2", it["ConvND_1"])
+    _emit_gn(out, "in_tr.bn1", it["GroupNorm_0"])
+    for i, (tag, n) in enumerate((("32", 2), ("64", 3), ("128", 3), ("256", 3))):
+        t, node = f"down_tr{tag}", params[f"DownTransition_{i}"]
+        _emit_conv(out, f"{t}.down_conv", node["ConvND_0"])
+        _emit_gn(out, f"{t}.bn1", node["GroupNorm_0"])
+        luconvs(t, node, n)
+    for i, (tag, n) in enumerate((("256", 3), ("128", 3), ("64", 2), ("32", 1))):
+        t, node = f"up_tr{tag}", params[f"UpTransition_{i}"]
+        tnode = node["ConvTransposeND_0"]["ConvTranspose_0"]
+        out[f"{t}.up_conv.weight"] = _tconv_kernel_inv(tnode["kernel"])
+        out[f"{t}.up_conv.bias"] = np.asarray(tnode["bias"], np.float32)
+        _emit_gn(out, f"{t}.bn", node["GroupNorm_0"])
+        _emit_conv(out, f"{t}.conv", node["ConvND_0"])
+        luconvs(t, node, n)
+    _emit_conv(out, "out_tr.conv", params["OutputHead_0"]["ConvND_0"])
+    return out
+
+
+_EXPORTERS = {"unet": unet_params_to_torch, "vnet": vnet_params_to_torch}
+
+
+def params_to_torch_checkpoint(params, arch: str, path=None):
+    """Export a tpuseg params pytree (the tree under ``{"params": ...}``)
+    to a reference-named state_dict; write it with torch.save when
+    ``path`` is given.  Returns the state_dict (numpy values, converted to
+    torch tensors when saving)."""
+    if "params" in params and isinstance(params.get("params"), Mapping) and (
+        "InputTransition_0" in params["params"] or "ConvBlock_0" in params["params"]
+    ):
+        params = params["params"]  # accept the full variables dict too
+    if arch not in _EXPORTERS:
+        raise ValueError(f"arch must be one of {sorted(_EXPORTERS)}, got {arch!r}")
+    sd = _EXPORTERS[arch](params)
+    if path is not None:
+        import torch
+
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path)
+    return sd

@@ -25,9 +25,15 @@ vs_baseline is reported against the *batched* (stronger) baseline.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Remote TPU compiles cost minutes per program shape on this stack; the
+# persistent cache makes warm runs start in seconds.  Set before jax
+# imports so it also applies when the driver invokes bench.py directly.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpuseg")
 
 
 def vnet3d_fwd_flops(patch=96, features=16, num_classes=2, in_ch=1):

@@ -110,9 +110,10 @@ def main():
     hu[40:120, 40:120, 48:144] += rng0.normal(60.0, 30.0, size=(80, 80, 96))
     vol_hu = np.round(hu).astype(np.float32)  # integer HU, as acquired
     HU_LO, HU_HI = -100.0, 100.0
-    trunc = np.clip(vol_hu, HU_LO, HU_HI)
-    mean, std = float(trunc.mean()), float(trunc.std())
-    vol = ((trunc - mean) / std).astype(np.float32)  # host-normalized f32
+    from tpuseg.data.normalize import truncate_and_normalize
+
+    # host-normalized f32: the exact library transform the compat API runs
+    vol = truncate_and_normalize(vol_hu, HU_HI, HU_LO, "meanstd")
     # LOSSLESS uint8 coding: the 200-HU window spans <= 255 integer levels,
     # so 1 byte/voxel carries this (integer-HU, unresampled) volume EXACTLY;
     # the meanstd normalization folds into a device-side affine (the same

@@ -515,3 +515,15 @@ def test_export_via_pth_loads_in_torch(tmp_path, rng):
         a = src(torch.from_numpy(x)).numpy()
         b = dst(torch.from_numpy(x)).numpy()
     np.testing.assert_array_equal(a, b)
+
+
+def test_importer_rejects_unmapped_keys():
+    """Structural mismatches must raise, not silently drop tensors."""
+    torch.manual_seed(0)
+    tm = _TorchUNet(2, 1, 2, 8).eval()
+    sd = dict(tm.state_dict())
+    sd["encoder1.enc1conv1.bias"] = torch.zeros(8)  # a bias the map ignores
+    from tpuseg.compat.torch_import import unet_params_from_torch
+
+    with pytest.raises(ValueError, match="does not map"):
+        unet_params_from_torch(sd)

@@ -37,6 +37,29 @@ def _np(t):
     return np.asarray(t.detach().cpu().numpy(), np.float32)  # torch tensor
 
 
+class _TrackedDict(dict):
+    """Records which keys a converter consumed so unmapped tensors in the
+    source state_dict are detected instead of silently dropped."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+
+def _check_all_consumed(sd: "_TrackedDict", arch: str) -> None:
+    leftover = sorted(set(sd) - sd.consumed)
+    if leftover:
+        raise ValueError(
+            f"state_dict has {len(leftover)} tensors the {arch} importer does "
+            f"not map (a structural mismatch would silently produce wrong "
+            f"outputs): {leftover[:8]}{'...' if len(leftover) > 8 else ''}"
+        )
+
+
 def _conv_kernel(w) -> np.ndarray:
     """torch Conv (O, I, *k) -> flax (*k, I, O)."""
     w = _np(w)
@@ -71,7 +94,7 @@ def unet_params_from_torch(state_dict: Mapping, levels: int = 4) -> dict:
     norm{1,2} -> ConvBlock_{i-1}; bottleneck -> ConvBlock_{levels};
     upconv{l} -> ConvTransposeND_{levels-l}; decoder{l} ->
     ConvBlock_{2*levels+1-l}; conv -> OutputHead_0."""
-    sd = dict(state_dict)
+    sd = _TrackedDict(state_dict)
     params: dict = {}
 
     def block(tname):
@@ -95,6 +118,7 @@ def unet_params_from_torch(state_dict: Mapping, levels: int = 4) -> dict:
         }
         params[f"ConvBlock_{levels + 1 + j}"] = block(f"decoder{l}.dec{l}")
     params["OutputHead_0"] = {"ConvND_0": {"Conv_0": _conv(sd, "conv")}}
+    _check_all_consumed(sd, "unet")
     return params
 
 
@@ -104,7 +128,7 @@ def vnet_params_from_torch(state_dict: Mapping) -> dict:
     Key map (`networks/VNet3d.py:102-127`): in_tr -> InputTransition_0;
     down_tr{32,64,128,256} -> DownTransition_{0..3}; up_tr{256,128,64,32}
     -> UpTransition_{0..3}; out_tr.conv -> OutputHead_0."""
-    sd = dict(state_dict)
+    sd = _TrackedDict(state_dict)
     params: dict = {}
 
     def luconvs(tname, n):
@@ -145,6 +169,7 @@ def vnet_params_from_torch(state_dict: Mapping) -> dict:
             **luconvs(t, n),
         }
     params["OutputHead_0"] = {"ConvND_0": {"Conv_0": _conv(sd, "out_tr.conv")}}
+    _check_all_consumed(sd, "vnet")
     return params
 
 
@@ -152,7 +177,7 @@ def resnet_params_from_torch(state_dict: Mapping) -> dict:
     """Reference ResNet2d/ResNet3d state_dict -> tpuseg ResNetClassifier
     params pytree (`networks/ResNet2d.py:74-119`: in_tr + down_tr{32..256}
     encoder, then fc_layers = Linear(256,128) / ReLU / Linear(128, ncls))."""
-    sd = dict(state_dict)
+    sd = _TrackedDict(state_dict)
     params: dict = {}
     params["InputTransition_0"] = {
         "ConvND_0": {"Conv_0": _conv(sd, "in_tr.conv1")},
@@ -178,6 +203,7 @@ def resnet_params_from_torch(state_dict: Mapping) -> dict:
             "kernel": _np(sd[f"fc_layers.{li}.weight"]).T,
             "bias": _np(sd[f"fc_layers.{li}.bias"]),
         }
+    _check_all_consumed(sd, "resnet")
     return params
 
 
@@ -187,7 +213,7 @@ def pix2pix_generator_params_from_torch(state_dict: Mapping) -> dict:
     reference's InstanceNorm2d layers are affine-free (torch default), so
     only conv weights exist.  (The discriminator is a tpuseg re-design and
     not state_dict-compatible; the generator is the deployable artifact.)"""
-    sd = dict(state_dict)
+    sd = _TrackedDict(state_dict)
     params: dict = {
         "_InputTr_0": {
             "ConvND_0": {"Conv_0": _conv(sd, "in_tr.conv1")},
@@ -222,6 +248,7 @@ def pix2pix_generator_params_from_torch(state_dict: Mapping) -> dict:
             **luconvs(t, n),
         }
     params["ConvND_0"] = {"Conv_0": _conv(sd, "out_tr.conv")}
+    _check_all_consumed(sd, "pix2pix_generator")
     return params
 
 
@@ -329,7 +356,22 @@ def vnet_params_to_torch(params: Mapping) -> dict:
         tnode = node["ConvTransposeND_0"]["ConvTranspose_0"]
         out[f"{t}.up_conv.weight"] = _tconv_kernel_inv(tnode["kernel"])
         out[f"{t}.up_conv.bias"] = np.asarray(tnode["bias"], np.float32)
-        _emit_gn(out, f"{t}.bn", node["GroupNorm_0"])
+        g0, g1 = node["GroupNorm_0"], node["GroupNorm_1"]
+        if not (
+            np.allclose(np.asarray(g0["scale"]), np.asarray(g1["scale"]), atol=1e-6)
+            and np.allclose(np.asarray(g0["bias"]), np.asarray(g1["bias"]), atol=1e-6)
+        ):
+            import warnings
+
+            warnings.warn(
+                f"VNet export: {t} GroupNorm_0 and GroupNorm_1 have diverged "
+                "(tpuseg trains them independently) but the reference "
+                "architecture SHARES one GN for both uses — the exported "
+                ".pth will use GroupNorm_0 for both, changing the torch "
+                "forward. Re-verify outputs after export.",
+                stacklevel=2,
+            )
+        _emit_gn(out, f"{t}.bn", g0)
         _emit_conv(out, f"{t}.conv", node["ConvND_0"])
         luconvs(t, node, n)
     _emit_conv(out, "out_tr.conv", params["OutputHead_0"]["ConvND_0"])

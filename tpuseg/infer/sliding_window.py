@@ -224,7 +224,10 @@ def sliding_window_inference(
         # keep pad voxels at value 0 post-dequant for the uint8 path
         fill = 0
         if dequant is not None:
-            fill = int(np.clip(round(-float(dequant[1]) / float(dequant[0])), 0, 255))
+            # ONE host fetch (dequant may be a pre-uploaded device array;
+            # through a relay every sync costs ~28 ms)
+            dq = np.asarray(dequant, np.float32)
+            fill = int(np.clip(round(-float(dq[1]) / float(dq[0])), 0, 255))
         padded = np.pad(vol, pad, constant_values=fill)
     else:
         padded = vol

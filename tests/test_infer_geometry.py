@@ -338,3 +338,52 @@ def test_hu_code_volume_edge_cases():
     codes, (s, o) = hu_code_volume(const, 100, -100, "meanstd")
     rec = codes.astype(np.float32) * s + o
     np.testing.assert_allclose(rec, 0.0, atol=1e-6)
+
+
+def test_pipelined_inference_uint8_stream():
+    """The multi-volume streaming mode accepts pre-coded uint8 volumes
+    with shared or per-volume dequant affines and matches the
+    single-volume path."""
+    from tpuseg.infer.sliding_window import (
+        sliding_window_inference,
+        sliding_window_inference_pipelined,
+    )
+
+    rng = np.random.default_rng(5)
+
+    def apply_fn(patches):
+        s = jnp.mean(patches, axis=-1, keepdims=True)
+        p1 = jax.nn.sigmoid(3.0 * s)
+        return jnp.concatenate([1 - p1, p1], axis=-1)
+
+    vols_hu = [
+        rng.integers(-200, 300, size=(24, 24, 32)).astype(np.float32)
+        for _ in range(3)
+    ]
+    codes, dqs, singles = [], [], []
+    for hu in vols_hu:
+        trunc = np.clip(hu, -100, 100)
+        mean, std = float(trunc.mean()), float(trunc.std())
+        codes.append((trunc + 100.0).astype(np.uint8))
+        dqs.append((1.0 / std, (-100.0 - mean) / std))
+        singles.append(
+            sliding_window_inference(
+                codes[-1], (16, 16, 16), apply_fn, 2, 4,
+                return_mask=True, dequant=dqs[-1],
+            )
+        )
+
+    streamed = sliding_window_inference_pipelined(
+        codes, (16, 16, 16), apply_fn, 2, 4, dequants=dqs
+    )
+    for s, p in zip(singles, streamed):
+        np.testing.assert_array_equal(s, p)
+
+    # shared dequant (all volumes normalized with one affine)
+    shared = sliding_window_inference_pipelined(
+        codes, (16, 16, 16), apply_fn, 2, 4, dequants=dqs[0]
+    )
+    ref0 = sliding_window_inference(
+        codes[1], (16, 16, 16), apply_fn, 2, 4, return_mask=True, dequant=dqs[0]
+    )
+    np.testing.assert_array_equal(shared[1], ref0)

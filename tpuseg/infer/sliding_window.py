@@ -264,24 +264,55 @@ def sliding_window_inference_pipelined(
     num_classes: int,
     batch_size: int = 8,
     overlap: float = 0.5,
+    transfer_dtype: Optional[str] = None,
+    dequants=None,
 ):
     """Throughput-mode inference over a stream of same-shape volumes:
     volume i+1's host→device upload and dispatch overlap volume i's
     execution (the fetch of i's mask happens after i+1 is queued).  On
     links where H2D is expensive (the axon relay moves ~90 MB/s) this
-    hides most of the transfer cost."""
+    hides most of the transfer cost.
+
+    Transfer options match `sliding_window_inference`:
+    ``transfer_dtype="bfloat16"`` halves each upload; pre-coded uint8
+    volumes stream with ``dequants`` — one ``(scale, offset)`` per volume
+    (or a single pair shared by all) — quartering the upload losslessly
+    for HU-coded CT (see `infer_volume_patched`)."""
     results = []
     pending = None  # (mask_device, orig_shape)
-    for vol in volumes:
-        v = np.asarray(vol, np.float32)
+    for idx, vol in enumerate(volumes):
+        v = np.asarray(vol)
         if v.ndim == 3:
             v = v[..., None]
+        dequant = None
+        if dequants is not None:
+            dq = dequants[idx] if isinstance(dequants, (list, tuple)) and (
+                len(dequants) > 0 and not np.isscalar(dequants[0])
+            ) else dequants
+            if not isinstance(dq, jax.Array):
+                dq = jnp.asarray(np.asarray(dq, np.float32))
+            dequant = dq
+            if v.dtype != np.uint8:
+                raise ValueError("dequants requires uint8-coded volumes")
+        elif transfer_dtype == "bfloat16":
+            import ml_dtypes
+
+            v = v.astype(ml_dtypes.bfloat16)
+        elif v.dtype != np.float32:
+            v = v.astype(np.float32)
         pad = [(0, max(p - s, 0)) for s, p in zip(v.shape[:3], patch)] + [(0, 0)]
-        padded = np.pad(v, pad) if any(p[1] for p in pad) else v
+        if any(p[1] for p in pad):
+            fill = 0
+            if dequant is not None:
+                dqh = np.asarray(dequant, np.float32)  # one fetch max
+                fill = int(np.clip(round(-float(dqh[1]) / float(dqh[0])), 0, 255))
+            padded = np.pad(v, pad, constant_values=fill)
+        else:
+            padded = v
         positions = grid_positions(padded.shape[:3], patch, overlap)
         _, mask = _sliding_window_jit(
             jnp.asarray(padded), tuple(map(tuple, positions.tolist())), apply_fn,
-            tuple(patch), batch_size, num_classes,
+            tuple(patch), batch_size, num_classes, False, True, False, dequant,
         )
         if pending is not None:
             m, shape = pending

@@ -79,7 +79,7 @@ def parse(path):
         counts = defaultdict(int)
         for line in lines:
             for fn, wt, v in _fields(line):
-                if fn == 6 and wt == 2:  # XEvent
+                if fn == 4 and wt == 2:  # XEvent (XLine.events = field 4)
                     mid, dur = None, 0
                     for f2, w2, v2 in _fields(v):
                         if f2 == 1 and w2 == 0:

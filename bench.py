@@ -21,6 +21,15 @@ can be audited and refined:
    H2D/D2H per patch) adds ~10 ms/patch overhead.
 
 vs_baseline is reported against the *batched* (stronger) baseline.
+
+Secondary (train) baseline model, same audit trail: UNet3d fwd FLOPs at
+the reference KiPA config computed analytically (~0.18 TFLOP), training
+step = fwd + bwd ≈ 3x fwd FLOPs at the same 6 TFLOP/s effective conv
+throughput (the reference trains plain f32 — no autocast/GradScaler
+anywhere in `model/` — so A100 TF32 convs; small-C 3D convs sit at the
+same few-percent utilization as inference), plus 10 ms/step host
+overhead (python dataloader item assembly, the per-batch `.cpu()` metric
+pulls at `modelUnet.py:881`, optimizer launch latency).
 """
 from __future__ import annotations
 
@@ -64,6 +73,33 @@ def vnet3d_fwd_flops(patch=96, features=16, num_classes=2, in_ch=1):
         total += n * conv(3, cout, cout, r)
         cin = cout
     total += conv(1, f, num_classes, r)
+    return total
+
+
+def unet3d_fwd_flops(shape=(128, 112, 112), features=16, num_classes=5,
+                     in_ch=1, levels=4):
+    """Analytic conv FLOPs of our UNet3d forward (models/unet.py: ConvBlock
+    = two 3^3 convs per level, 2^3/s2 transpose-conv decoder, 1x1 head)."""
+    f = features
+    vox = lambda s: float(np.prod(s))
+    total = 0.0
+    s = tuple(shape)
+    cin = in_ch
+    for lvl in range(levels):
+        ch = f * 2 ** lvl
+        total += 2 * 27 * cin * ch * vox(s) + 2 * 27 * ch * ch * vox(s)
+        cin = ch
+        s = tuple(d // 2 for d in s)
+    ch = f * 2 ** levels
+    total += 2 * 27 * cin * ch * vox(s) + 2 * 27 * ch * ch * vox(s)
+    cin = ch
+    for lvl in reversed(range(levels)):
+        ch = f * 2 ** lvl
+        s = tuple(d * 2 for d in s)
+        total += 2 * cin * ch * vox(s)  # 2^3-kernel stride-2 transpose: 1 tap/out
+        total += 2 * 27 * (2 * ch) * ch * vox(s) + 2 * 27 * ch * ch * vox(s)
+        cin = ch
+    total += 2 * cin * num_classes * vox(s)
     return total
 
 
@@ -332,6 +368,12 @@ def main():
         holder["state"] = s
 
     train_steps_per_sec = steps / interleaved_times({"t": train_pass}, 3)[0]["t"]
+    # modeled A100 train step (assumptions in the module docstring):
+    # fwd+bwd = 3x fwd FLOPs at 6 TF/s effective + 10 ms host overhead
+    train_fwd_flops = unet3d_fwd_flops(TRAIN_SHAPE, 16, 5)
+    a100_train_steps_per_sec = 1.0 / (
+        3.0 * train_fwd_flops / a100_effective_flops + 0.010
+    )
 
     print(
         json.dumps(
@@ -387,6 +429,12 @@ def main():
                     "patches_per_volume": int(n_patches),
                     "unet3d_train_steps_per_sec_112x112x128_bs1": round(
                         train_steps_per_sec, 4
+                    ),
+                    "train_vs_baseline": round(
+                        train_steps_per_sec / a100_train_steps_per_sec, 3
+                    ),
+                    "modeled_a100_train_steps_per_sec": round(
+                        a100_train_steps_per_sec, 4
                     ),
                     "modeled_a100_batched_vols_per_sec": round(
                         baseline_vols_per_sec, 4

@@ -54,7 +54,10 @@ def main(argv=None):
     )
     val_loader = DataLoader(val_ds, cfg.data.batch_size, shuffle=False)
 
-    mesh = MeshContext(make_mesh(data=cfg.train.mesh_data, model=cfg.train.mesh_model))
+    mesh = MeshContext(make_mesh(
+        data=cfg.train.mesh_data, model=cfg.train.mesh_model,
+        space=cfg.train.mesh_space,
+    ))
     model = build_model(
         cfg.model.name, cfg.model.num_classes,
         features=cfg.model.features, dropout=cfg.model.dropout,

@@ -152,3 +152,58 @@ def test_psnr_finite_on_zero_mse():
     x = jnp.ones((2, 16))
     v = float(psnr(x, x))
     assert np.isfinite(v) and v > 60.0
+
+
+def test_sharded_checkpoint_cross_topology(tmp_path):
+    """VERDICT r2 #5: a checkpoint written under a (2,2,2) dp x tp x sp mesh
+    must restore under a flat (8,) data mesh (and carry the new shardings)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.array(jax.devices()[:8])
+    mesh_a = Mesh(devs.reshape(2, 2, 2), ("data", "model", "space"))
+    mesh_b = Mesh(devs.reshape(8), ("data",))
+
+    w = np.arange(8 * 16, dtype=np.float32).reshape(8, 16)
+    b = np.arange(32, dtype=np.float32)
+    state = {
+        "w": jax.device_put(w, NamedSharding(mesh_a, P("data", "model"))),
+        "b": jax.device_put(b, NamedSharding(mesh_a, P("space"))),
+        "step": jax.device_put(np.asarray(5, np.int32), NamedSharding(mesh_a, P())),
+    }
+    path = str(tmp_path / "sharded_ckpt")
+    ckpt.save_sharded(path, state, {"step": 5, "metric": 0.9})
+
+    target = {
+        "w": jax.ShapeDtypeStruct(
+            (8, 16), np.float32, sharding=NamedSharding(mesh_b, P("data"))
+        ),
+        "b": jax.ShapeDtypeStruct(
+            (32,), np.float32, sharding=NamedSharding(mesh_b, P())
+        ),
+        "step": jax.ShapeDtypeStruct(
+            (), np.int32, sharding=NamedSharding(mesh_b, P())
+        ),
+    }
+    restored = ckpt.restore_sharded(path, target)
+    np.testing.assert_array_equal(np.asarray(restored["w"]), w)
+    np.testing.assert_array_equal(np.asarray(restored["b"]), b)
+    assert int(restored["step"]) == 5
+    assert restored["w"].sharding.is_equivalent_to(
+        NamedSharding(mesh_b, P("data")), 2
+    )
+    assert ckpt.read_meta_sharded(path)["metric"] == 0.9
+
+
+def test_checkpoint_manager_sharded_mode(tmp_path):
+    """CheckpointManager(sharded=True) routes best/latest through orbax and
+    restores with metadata."""
+    mgr = ckpt.CheckpointManager(str(tmp_path), mode="max", sharded=True)
+    state = {"w": jnp.arange(4.0), "step": jnp.asarray(1, jnp.int32)}
+    mgr.save_latest(state, step=1, metric=0.3, epoch=2)
+    assert mgr.maybe_save_best(state, 1, 0.3)
+    restored, meta = mgr.restore(state, "latest")
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(4.0))
+    assert meta["epoch"] == 2
+    # a fresh sharded manager picks up the persisted best metric
+    mgr2 = ckpt.CheckpointManager(str(tmp_path), mode="max", sharded=True)
+    assert mgr2.best_metric == 0.3

@@ -31,6 +31,27 @@ def test_multiclass_dice(rng):
     assert v2 > 0.999
 
 
+def test_multiclass_iou_v2(rng):
+    labels = rng.integers(0, 3, size=(2, 8, 8)).astype(np.int32)
+    probs = np.eye(3, dtype=np.float32)[labels]
+    v2 = float(metrics.multiclass_iou_coeff_v2(jnp.asarray(probs), jnp.asarray(labels)))
+    assert v2 > 0.999
+
+
+def test_multiclass_iou_v2_golden():
+    # 1 sample, 4 pixels, 3 classes; class 2 absent from labels
+    labels = np.asarray([[0, 1, 1, 0]], np.int32)
+    probs = np.asarray(
+        [[[0.8, 0.2, 0.0], [0.3, 0.6, 0.1], [0.1, 0.9, 0.0], [0.9, 0.1, 0.0]]],
+        np.float32,
+    )
+    # class 1 (only present foreground class): inter = 0.6+0.9 = 1.5,
+    # union = sum(oh) + sum(p) - inter = 2 + (0.2+0.6+0.9+0.1) - 1.5 = 2.3
+    expect = (1.5 + 1e-5) / (2.3 + 1e-5)
+    v2 = float(metrics.multiclass_iou_coeff_v2(jnp.asarray(probs), jnp.asarray(labels)))
+    np.testing.assert_allclose(v2, expect, rtol=1e-5)
+
+
 def test_accuracy():
     a = jnp.asarray([1, 2, 3, 4])
     b = jnp.asarray([1, 2, 0, 4])

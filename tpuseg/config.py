@@ -51,6 +51,7 @@ class TrainConfig:
     resume: bool = False
     mesh_data: int = -1             # -1: all devices data-parallel
     mesh_model: int = 1
+    mesh_space: int = 1             # >1: z-sharded spatial training (tasks/spatial.py)
     profile: bool = False           # jax.profiler trace of a few steps
 
 

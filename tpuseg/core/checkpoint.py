@@ -85,46 +85,77 @@ def exists(path: str) -> bool:
     return os.path.isfile(os.path.join(_resolve(path), "state.msgpack"))
 
 
-def save_sharded(path: str, state: Any) -> None:
+def save_sharded(path: str, state: Any, meta: Optional[dict] = None) -> None:
     """Orbax-backed sharded save: each host writes its own array shards —
     the multi-host/TPU-pod path (our msgpack format gathers to host 0).
-    Restore with ``restore_sharded``; resharding onto a different mesh
-    happens at device_put time."""
+    Restore with ``restore_sharded``; the restore target's shardings decide
+    the new placement, so a checkpoint written on one mesh topology
+    restores onto any other (tests/test_core_infra.py pins (2,2,2)→(8,))."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(path), state, force=True)
     ckptr.wait_until_finished()
+    if meta is not None:
+        with open(os.path.abspath(path) + ".meta.json", "w") as f:
+            json.dump(meta, f, indent=2, default=float)
 
 
 def restore_sharded(path: str, target: Any) -> Any:
+    """Restore into `target`'s structure.  Leaves that are jax.Arrays (or
+    jax.ShapeDtypeStruct with `.sharding`) carry the destination sharding;
+    orbax reshards the stored shards onto it regardless of the topology
+    the checkpoint was written under."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), target=target)
 
 
+def read_meta_sharded(path: str) -> dict:
+    meta_path = os.path.abspath(path) + ".meta.json"
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {}
+
+
 class CheckpointManager:
     """Best + latest retention with async background writes."""
 
-    def __init__(self, directory: str, mode: str = "max", async_write: bool = True):
+    def __init__(
+        self,
+        directory: str,
+        mode: str = "max",
+        async_write: bool = True,
+        sharded: bool = False,
+    ):
         self.directory = directory
         self.mode = mode
-        self.async_write = async_write
+        # orbax's save already overlaps device reads with disk writes and
+        # wait_until_finished()s; no extra thread needed on the sharded path
+        self.sharded = sharded
+        self.async_write = async_write and not sharded
         self._best: Optional[float] = None
         self._thread: Optional[threading.Thread] = None
         os.makedirs(directory, exist_ok=True)
-        best_meta = os.path.join(directory, "best", "meta.json")
-        if os.path.isfile(best_meta):
-            try:
-                self._best = read_meta(os.path.join(directory, "best")).get("metric")
-            except Exception:
-                self._best = None
+        best = os.path.join(directory, "best")
+        try:
+            if sharded:
+                self._best = read_meta_sharded(best).get("metric")
+            elif os.path.isfile(os.path.join(best, "meta.json")):
+                self._best = read_meta(best).get("metric")
+        except Exception:
+            self._best = None
 
     def _write(self, name: str, host_state, meta):
         save(os.path.join(self.directory, name), host_state, meta)
 
     def _submit(self, name, state, meta):
+        if self.sharded:
+            self.wait()
+            save_sharded(os.path.join(self.directory, name), state, meta)
+            return
         host_state = _to_host(state)  # snapshot before the step buffer is donated
         self.wait()
         if self.async_write:
@@ -159,6 +190,10 @@ class CheckpointManager:
     def restore(self, target, which: str = "latest"):
         self.wait()
         path = os.path.join(self.directory, which)
+        if self.sharded:
+            if not os.path.isdir(path):
+                return None
+            return restore_sharded(path, target), read_meta_sharded(path)
         if not exists(path):
             return None
         return restore(path, target), read_meta(path)

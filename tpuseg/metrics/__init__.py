@@ -4,6 +4,7 @@ from tpuseg.metrics.online import (  # noqa: F401
     multiclass_dice_coeff,
     multiclass_dice_coeff_v2,
     multiclass_iou_coeff,
+    multiclass_iou_coeff_v2,
     accuracy,
     mse,
     nrmse,

@@ -64,6 +64,30 @@ def multiclass_dice_coeff_v2(probs, labels):
     return jnp.sum(dice) / jnp.maximum(jnp.sum(present), 1)
 
 
+def multiclass_iou_coeff_v2(probs, labels):
+    """`metric.py:218` multiclass_iou_coeffv2: soft per-class IoU over
+    present foreground classes (the IoU analog of `multiclass_dice_coeff_v2`).
+
+    Divergence (DIVERGENCES.md): the reference reduces over dim 1 — the
+    *channel* axis of its (B, C-1, HW) tensors — leaving a (B, HW) map that
+    it then multiplies by a (C-1,) class-presence mask, which only
+    broadcasts when HW == C-1; the intended reduction (matching its own
+    v2 dice at `metric.py:184`) is over (batch, spatial) per class, which
+    is what this implements.
+    """
+    c = probs.shape[-1]
+    p = probs.astype(jnp.float32).reshape(probs.shape[0], -1, c)[..., 1:]
+    oh = jax.nn.one_hot(
+        labels.reshape(labels.shape[0], -1).astype(jnp.int32), c, dtype=jnp.float32
+    )[..., 1:]
+    inter = jnp.sum(oh * p, axis=(0, 1))
+    union = jnp.sum(oh, axis=(0, 1)) + jnp.sum(p, axis=(0, 1)) - inter
+    iou = jnp.maximum((inter + SMOOTH) / (union + SMOOTH), EPS)
+    present = jnp.sum(oh, axis=(0, 1)) > 0
+    iou = iou * present.astype(jnp.float32)
+    return jnp.sum(iou) / jnp.maximum(jnp.sum(present), 1)
+
+
 def multiclass_iou_coeff(probs, labels, threshold: float = 0.5):
     """`metric.py:204`: mean over foreground classes of per-class hard IoU."""
     c = probs.shape[-1]

@@ -90,6 +90,79 @@ USE_PALLAS_CONV3D = False
 # and positively rescales whole channels, commuting with ReLU).
 USE_FUSED_GN_RELU = False
 
+# int8 W8A8 conv execution for INFERENCE (VERDICT r2 #2): the v5e MXU runs
+# int8 at ~2x the bf16 rate, and the C16/C32 stem stages are N=Cout-lane-
+# capped — int8 doubles that ceiling.  Weights quantize per-output-channel
+# (folds to compile-time constants under a params-closure jit); activations
+# quantize dynamically per tensor (one abs-max reduction, fused into the
+# preceding GN/ReLU epilogue).  Toggle with `int8_inference()`; quality is
+# gated by dice parity on a trained net (benchmarks/int8_quality_probe.py).
+USE_INT8_CONV = False
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def int8_inference(enable: bool = True):
+    """Context manager: run ConvND through the int8 MXU path.  Inference
+    only (the quantization ops are non-differentiable by design); callers
+    must build their jit closures inside the context (the flag is read at
+    trace time)."""
+    global USE_INT8_CONV
+    prev = USE_INT8_CONV
+    USE_INT8_CONV = enable
+    try:
+        yield
+    finally:
+        USE_INT8_CONV = prev
+
+
+def _conv_dimension_numbers(ndim: int):
+    sp = "DHW"[-ndim:] if ndim <= 3 else None
+    assert sp is not None, ndim
+    return (f"N{sp}C", f"{sp}IO", f"N{sp}C")
+
+
+class _Int8Conv(nn.Module):
+    """W8A8 conv; parameter names/shapes/init mirror nn.Conv ("kernel",
+    "bias" under this module's scope) so checkpoints interchange —
+    instantiate with name="Conv_0" inside ConvND."""
+
+    features: int
+    ndim: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    padding: Union[str, Sequence[Tuple[int, int]]]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", he_normal(), self.kernel_size + (cin, self.features)
+        )
+        kf = kernel.astype(jnp.float32)
+        # per-output-channel symmetric scale; |wq| <= 127 by construction
+        w_scale = jnp.maximum(
+            jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1))), 1e-12
+        ) / 127.0
+        wq = jnp.round(kf / w_scale).astype(jnp.int8)
+        xf = x.astype(jnp.float32)
+        a_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, wq, self.strides, self.padding,
+            dimension_numbers=_conv_dimension_numbers(self.ndim),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (a_scale * w_scale)
+        if self.use_bias:
+            y = y + self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            )
+        return y.astype(x.dtype)
+
 
 class _FusedGNReLU(nn.Module):
     """GroupNorm+ReLU through the fused kernel; parameter names/shapes
@@ -174,6 +247,16 @@ class ConvND(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad)] * self.ndim
+        if (
+            USE_INT8_CONV
+            and self.feature_group_count == 1
+            and _tup(self.kernel_dilation, self.ndim) == (1,) * self.ndim
+            and self.ndim in (2, 3)
+        ):
+            return _Int8Conv(
+                self.features, self.ndim, ks, st, pad,
+                use_bias=self.use_bias, name="Conv_0",
+            )(x)
         if USE_PALLAS_CONV3D and self.ndim == 3 and pad == "SAME":
             from tpuseg.kernels.conv3d import supported
 

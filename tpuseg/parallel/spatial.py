@@ -177,7 +177,7 @@ class SpatialGroupNorm(nn.Module):
 
     groups: int
     axis_name: str
-    eps: float = 1e-5
+    eps: float = 1e-6  # flax nn.GroupNorm default — keeps the twin exact
 
     @nn.compact
     def __call__(self, x):
@@ -343,21 +343,33 @@ def _spatial_class_stats(p, y, c, axis_name):
     return inter, col_sum, count
 
 
-def spatial_seg_loss(logits, labels, loss_name: str, axis_name: str,
+# losses the z-sharded step supports (all reduce to psum-able global
+# statistics).  NOT shard-decomposable and therefore excluded, by design:
+# LovaszLoss (needs a global sort over all voxels), MutilClDiceLoss
+# (iterated min/max-pool skeletonization), and the Binary* losses (the
+# spatial path is the multiclass 3D trainer; run binary tasks as 2-class).
+SPATIAL_LOSS_NAMES = (
+    "MutilCrossEntropyLoss", "MutilFocalLoss", "MutilDiceLoss",
+    "MutilCrossEntropyDiceLoss", "MutilELDiceLoss", "MutilSSLoss",
+    "MutilTverskyLoss",
+)
+
+
+def spatial_seg_loss(logits, labels, loss_name: str, axis_name,
                      alpha=None, gamma: float = 2.0):
-    """z-shard-local logits/labels -> the GLOBAL loss value (identical on
-    every shard). Supported: MutilCrossEntropyLoss, MutilFocalLoss,
-    MutilDiceLoss, MutilCrossEntropyDiceLoss — same math as
+    """Shard-local logits/labels -> the GLOBAL loss value (identical on
+    every shard).  ``axis_name`` is the mesh axis (or tuple of axes) the
+    voxels are sharded over — pass ``("data", "space")`` for dp x sp.
+    Supported names: SPATIAL_LOSS_NAMES — same math as
     tpuseg.losses.categorical, with the class statistics psum'd."""
-    from tpuseg.losses.categorical import EPS, SMOOTH, _alpha
+    from tpuseg.losses.categorical import EPS, SMOOTH, _alpha, _oh
 
     c = logits.shape[-1]
     y = labels.reshape(-1).astype(jnp.int32)
     lf32 = logits.astype(jnp.float32).reshape(-1, c)
+    a = _alpha(alpha, c)
 
     def ce():
-        from tpuseg.losses.categorical import _oh
-
         logp = jax.nn.log_softmax(lf32, axis=-1)
         oh = _oh(y, c)
         nll = -jnp.sum(logp * oh, axis=1)
@@ -369,8 +381,6 @@ def spatial_seg_loss(logits, labels, loss_name: str, axis_name: str,
         )
 
     def focal():
-        from tpuseg.losses.categorical import _oh
-
         logp = jax.nn.log_softmax(lf32, axis=-1)
         oh = _oh(y, c)
         nll = -jnp.sum(logp * oh, axis=1)
@@ -382,14 +392,51 @@ def spatial_seg_loss(logits, labels, loss_name: str, axis_name: str,
         n = jax.lax.psum(jnp.asarray(val.shape[0], jnp.float32), axis_name)
         return psum_ad(jnp.sum(val), axis_name) / n
 
-    def dice():
+    def stats():
         p = jax.nn.softmax(lf32, axis=-1)
-        a = _alpha(alpha, c)
         inter, col_sum, count = _spatial_class_stats(p, y, c, axis_name)
-        present = count > 0
+        return p, inter, col_sum, count, count > 0
+
+    def dice():
+        _, inter, col_sum, count, present = stats()
         d = jnp.maximum((2.0 * inter + SMOOTH) / (col_sum + count + SMOOTH), EPS)
         loss = -d * present.astype(jnp.float32) * a
         return jnp.sum(loss) / jnp.maximum(jnp.sum(present), 1)
+
+    def eldice():
+        _, inter, col_sum, count, present = stats()
+        d = jnp.maximum((2.0 * inter + SMOOTH) / (col_sum + count + SMOOTH), EPS)
+        d = d * present.astype(jnp.float32) * a
+        val = jnp.sum(
+            jnp.power(-jnp.log(d + SMOOTH), 0.3) * present
+        ) / jnp.maximum(jnp.sum(present), 1)
+        return jnp.clip(val, 0.0, 2.0)
+
+    def tversky():
+        _, tp, col_sum, count, present = stats()
+        fp = col_sum - tp
+        fn = count - tp
+        tv = (tp + SMOOTH) / (tp + 0.3 * fp + 0.7 * fn + SMOOTH)
+        loss = (1.0 - tv) * present.astype(jnp.float32) * a
+        return jnp.sum(loss) / jnp.maximum(jnp.sum(present), 1)
+
+    def ss(r=0.1):
+        p = jax.nn.softmax(lf32, axis=-1)
+        oh = _oh(y, c)
+        p_true = jnp.sum(p * oh, axis=1)
+        count = jax.lax.psum(jnp.sum(oh, axis=0), axis_name)
+        present = count > 0
+        fg_err = psum_ad(jnp.sum(((1.0 - p_true) ** 2)[:, None] * oh, axis=0),
+                         axis_name)
+        sq_col = psum_ad(jnp.sum(p ** 2, axis=0), axis_name)
+        sq_true = psum_ad(jnp.sum((p_true ** 2)[:, None] * oh, axis=0),
+                          axis_name)
+        bg_err = sq_col - sq_true
+        n = jax.lax.psum(jnp.asarray(p.shape[0], jnp.float32), axis_name)
+        fg_part = fg_err / (count + SMOOTH)
+        bg_part = bg_err / ((n - count) + SMOOTH)
+        val = (r * fg_part + (1.0 - r) * bg_part) * present.astype(jnp.float32) * a
+        return jnp.sum(val) / jnp.maximum(jnp.sum(present), 1)
 
     if loss_name == "MutilCrossEntropyLoss":
         return ce()
@@ -399,7 +446,16 @@ def spatial_seg_loss(logits, labels, loss_name: str, axis_name: str,
         return dice()
     if loss_name == "MutilCrossEntropyDiceLoss":
         return ce() + dice()
-    raise ValueError(f"spatial_seg_loss: unsupported loss {loss_name!r}")
+    if loss_name == "MutilELDiceLoss":
+        return eldice()
+    if loss_name == "MutilSSLoss":
+        return ss()
+    if loss_name == "MutilTverskyLoss":
+        return tversky()
+    raise ValueError(
+        f"spatial_seg_loss: unsupported loss {loss_name!r} "
+        f"(supported: {SPATIAL_LOSS_NAMES})"
+    )
 
 
 def make_spatial_seg_train_step(model_sp, mesh: Mesh, tx, loss_name: str,
@@ -446,3 +502,187 @@ def make_spatial_seg_train_step(model_sp, mesh: Mesh, tx, loss_name: str,
         }, loss
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# SpatialVNet3d — z-sharded twin of models.vnet.VNet(ndim=3), the benchmark
+# network.  Explicit module names mirror flax auto-naming in the plain VNet,
+# so parameter trees (and the flax "dropout" rng stream, which folds in the
+# module path) are interchangeable: train sharded, infer anywhere.
+# Only the 3^3 convs exchange halos and only GroupNorm psums; the k2s2
+# down-convs / transpose-convs never straddle shard boundaries (local z
+# stays even: global z divisible by 16 * n_space).
+# ---------------------------------------------------------------------------
+
+
+class SpatialLUConv(nn.Module):
+    """LUConv twin: conv3 (halo) -> GN (psum) -> dropout -> ReLU."""
+
+    features: int
+    axis_name: str
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = SpatialConvND(self.features, self.axis_name, name="ConvND_0")(x)
+        x = SpatialGroupNorm(8, self.axis_name, name="GroupNorm_0")(x)
+        x = ChannelDropout(self.dropout, 3, name="ChannelDropout_0")(
+            x, deterministic=not train
+        )
+        return nn.relu(x)
+
+
+class SpatialInputTransition(nn.Module):
+    """InputTransition twin (`nn/layers.py InputTransition`): 3^3 + 1^3
+    paths sharing one GN and one dropout module (same rng stream as the
+    plain net)."""
+
+    features: int
+    axis_name: str
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        from tpuseg.nn.layers import ConvND
+
+        norm = SpatialGroupNorm(8, self.axis_name, name="GroupNorm_0")
+        drop = ChannelDropout(self.dropout, 3, name="ChannelDropout_0")
+        a = SpatialConvND(self.features, self.axis_name, name="ConvND_0")(x)
+        a = nn.relu(drop(norm(a), deterministic=not train))
+        b = ConvND(self.features, 3, 1, name="ConvND_1")(x)
+        b = nn.relu(drop(norm(b), deterministic=not train))
+        return a + b
+
+
+class SpatialDownTransition(nn.Module):
+    """DownTransition twin: k2s2 VALID down-conv (local: z even), GN psum,
+    n LUConv twins, residual."""
+
+    features: int
+    axis_name: str
+    n_convs: int
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        from tpuseg.nn.layers import ConvND
+
+        down = ConvND(self.features, 3, 2, strides=2, padding="VALID",
+                      name="ConvND_0")(x)
+        down = SpatialGroupNorm(8, self.axis_name, name="GroupNorm_0")(down)
+        down = ChannelDropout(self.dropout, 3, name="ChannelDropout_0")(
+            down, deterministic=not train
+        )
+        down = nn.relu(down)
+        out = down
+        for i in range(self.n_convs):
+            out = SpatialLUConv(self.features, self.axis_name, self.dropout,
+                                name=f"LUConv_{i}")(out, train=train)
+        return out + down
+
+
+class SpatialUpTransition(nn.Module):
+    """UpTransition twin: k2s2 transpose-conv (local), concat skip, 1^3
+    squeeze (local), GN psums, n LUConv twins, residual."""
+
+    features: int
+    axis_name: str
+    n_convs: int
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, skip, *, train: bool = False):
+        from tpuseg.nn.layers import ConvND
+
+        norm = SpatialGroupNorm(8, self.axis_name, name="GroupNorm_0")
+        drop = ChannelDropout(self.dropout, 3, name="ChannelDropout_0")
+        up = ConvTransposeND(self.features, 3, 2, 2, name="ConvTransposeND_0")(x)
+        up = nn.relu(drop(norm(up), deterministic=not train))
+        cat = jnp.concatenate([up, skip], axis=-1)
+        cat = ConvND(self.features, 3, 1, name="ConvND_0")(cat)
+        cat = nn.relu(drop(
+            SpatialGroupNorm(8, self.axis_name, name="GroupNorm_1")(cat),
+            deterministic=not train,
+        ))
+        out = cat
+        for i in range(self.n_convs):
+            out = SpatialLUConv(self.features, self.axis_name, self.dropout,
+                                name=f"LUConv_{i}")(out, train=train)
+        return out + cat
+
+
+class SpatialVNet3d(nn.Module):
+    """VNet(ndim=3) twin whose forward runs on z-shards inside shard_map.
+
+    Parameter tree matches tpuseg.models.vnet.VNet(ndim=3); requires local
+    z divisible by 16 (four down stages)."""
+
+    num_classes: int
+    axis_name: str = SPACE_AXIS
+    features: int = 16
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        f = self.features
+        ax = self.axis_name
+        out16 = SpatialInputTransition(f, ax, self.dropout,
+                                       name="InputTransition_0")(x, train=train)
+        out32 = SpatialDownTransition(f * 2, ax, 2, self.dropout,
+                                      name="DownTransition_0")(out16, train=train)
+        out64 = SpatialDownTransition(f * 4, ax, 3, self.dropout,
+                                      name="DownTransition_1")(out32, train=train)
+        out128 = SpatialDownTransition(f * 8, ax, 3, self.dropout,
+                                       name="DownTransition_2")(out64, train=train)
+        out256 = SpatialDownTransition(f * 16, ax, 3, self.dropout,
+                                       name="DownTransition_3")(out128, train=train)
+        up = SpatialUpTransition(f * 8, ax, 3, self.dropout,
+                                 name="UpTransition_0")(out256, out128, train=train)
+        up = SpatialUpTransition(f * 4, ax, 3, self.dropout,
+                                 name="UpTransition_1")(up, out64, train=train)
+        up = SpatialUpTransition(f * 2, ax, 2, self.dropout,
+                                 name="UpTransition_2")(up, out32, train=train)
+        up = SpatialUpTransition(f, ax, 1, self.dropout,
+                                 name="UpTransition_3")(up, out16, train=train)
+        return _SpatialOutputHead(self.num_classes, name="OutputHead_0")(up)
+
+
+def spatial_twin(model):
+    """The z-sharded twin of a plain model (parameter-tree compatible), or
+    raise.  Supported: UNet(ndim=3), VNet(ndim=3)."""
+    from tpuseg.models.unet import UNet
+    from tpuseg.models.vnet import VNet
+
+    if isinstance(model, UNet) and model.ndim == 3:
+        return SpatialUNet3d(
+            num_classes=model.num_classes, features=model.features,
+            dropout=model.dropout, levels=model.levels,
+        )
+    if isinstance(model, VNet) and model.ndim == 3:
+        return SpatialVNet3d(
+            num_classes=model.num_classes, features=model.features,
+            dropout=model.dropout,
+        )
+    raise ValueError(
+        f"no spatial (z-sharded) twin for {type(model).__name__}"
+        f"(ndim={getattr(model, 'ndim', '?')}); spatial training supports "
+        "UNet3d and VNet3d"
+    )
+
+
+def spatial_multiclass_dice(probs, labels, axis_name, threshold: float = 0.5):
+    """Shard-local multiclass hard dice -> the GLOBAL
+    metrics.multiclass_dice_coeff value (identical on every shard).
+    ``axis_name``: the axis/axes the per-sample voxels are sharded over
+    (the space axis; batch-axis averaging is the caller's pmean)."""
+    c = probs.shape[-1]
+    n = probs.shape[0]
+    p = (probs > threshold).astype(jnp.float32).reshape(n, -1, c)
+    oh = (labels.reshape(n, -1)[:, :, None]
+          == jnp.arange(c, dtype=jnp.int32)[None, None, :]).astype(jnp.float32)
+    inter = jax.lax.psum(jnp.sum(p * oh, axis=1), axis_name)   # (n, c)
+    psum_p = jax.lax.psum(jnp.sum(p, axis=1), axis_name)
+    psum_t = jax.lax.psum(jnp.sum(oh, axis=1), axis_name)
+    smooth = 1e-5
+    dice = (2.0 * inter + smooth) / (psum_p + psum_t + smooth)  # (n, c)
+    return jnp.mean(dice[:, 1:])

@@ -32,6 +32,25 @@ def make_segmentation_trainer(
     viz_fn=None,
 ) -> Trainer:
     config = config or TrainerConfig()
+
+    # space>1 mesh -> the z-sharded product path (halo convs + psum'd GN;
+    # tasks/spatial.py).  Same entry point, same checkpoints.  With
+    # model>1 the space axis belongs to other machinery (e.g. the dryrun's
+    # dp+tp step on a full (2,2,2) mesh) — spatial training shards
+    # activations, not parameters, so it requires model == 1.
+    if (
+        mesh is not None
+        and mesh.mesh.shape.get("space", 1) > 1
+        and mesh.mesh.shape.get("model", 1) == 1
+    ):
+        from tpuseg.tasks.spatial import make_spatial_segmentation_trainer
+
+        return make_spatial_segmentation_trainer(
+            model, example_image, num_classes, loss_name,
+            alpha=alpha, gamma=gamma, config=config, mesh=mesh,
+            seed=seed, viz_fn=viz_fn,
+        )
+
     loss = build_loss(loss_name, num_classes, alpha=alpha, gamma=gamma)
 
     params = model.init(jax.random.key(seed), jnp.asarray(example_image))

@@ -131,6 +131,18 @@ def main():
         logits, probs = model.apply(params, patches.astype(jnp.bfloat16))
         return probs.astype(jnp.float32)
 
+    # Round-3 compute lever (models/vnet_packed.py): the 96^3 C16 level
+    # executes in the space-to-depth domain — k4s2/1x1 convs and GN/apply
+    # fusions at 128-lane width instead of XLA's (C=16,B=27)-minor layout.
+    # Measured fwd27 216 -> 138 ms; exact vs the plain model (CPU tests);
+    # the sliding-window merge + argmax stay packed end-to-end.
+    from tpuseg.models.vnet_packed import depth_to_space3d, packed_vnet3d_probs
+
+    def apply_fn_packed(patches):
+        return packed_vnet3d_probs(
+            params, patches.astype(jnp.bfloat16), return_packed=True
+        ).astype(jnp.float32)
+
     # NOTE timing methodology: on this stack jax.block_until_ready is
     # unreliable (axon relay), so every measured loop ends with a host
     # fetch of a scalar reduced from the result, which drains the queue.
@@ -195,21 +207,23 @@ def main():
 
     def run_primary():
         return sliding_window_inference(
-            codes, PATCH, apply_fn, NUM_CLASSES, BATCH, dequant=dequant, **opts
+            codes, PATCH, apply_fn_packed, NUM_CLASSES, BATCH,
+            dequant=dequant, packed_apply=True, **opts
         )
 
     opts_bf16 = dict(opts, transfer_dtype="bfloat16")
 
     def run_bf16():
         return sliding_window_inference(
-            vol, PATCH, apply_fn, NUM_CLASSES, BATCH, **opts_bf16
+            vol, PATCH, apply_fn_packed, NUM_CLASSES, BATCH,
+            packed_apply=True, **opts_bf16
         )
 
     # 25%-overlap variant (12 patches), same lossless upload
     def run_25():
         return sliding_window_inference(
-            codes, PATCH, apply_fn, NUM_CLASSES, 12, overlap=0.25,
-            dequant=dequant, **opts
+            codes, PATCH, apply_fn_packed, NUM_CLASSES, 12, overlap=0.25,
+            dequant=dequant, packed_apply=True, **opts
         )
 
     mask = run_primary()  # compile + agreement artifacts
@@ -237,8 +251,12 @@ def main():
 
     @jax.jit
     def whole_volume_mask(params, v):
-        _, probs = model.apply(params, v)
-        m = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+        # packed forward + packed argmax; only the uint8 mask unpacks
+        probsp = packed_vnet3d_probs(params, v, return_packed=True)
+        sh = probsp.shape[:4]
+        grouped = probsp.reshape(sh + (8, NUM_CLASSES))
+        mp = jnp.argmax(grouped, axis=-1).astype(jnp.uint8)
+        m = depth_to_space3d(mp)[..., 0]
         flat = m.reshape(-1, 8)
         w8 = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
         return jnp.sum(flat * w8, axis=-1, dtype=jnp.uint8)
@@ -298,8 +316,8 @@ def main():
 
     def dev_exec_sliding():
         _, m = _sliding_window_jit(
-            dev_codes, positions_t, apply_fn, PATCH, BATCH, NUM_CLASSES,
-            False, True, True, dq,
+            dev_codes, positions_t, apply_fn_packed, PATCH, BATCH, NUM_CLASSES,
+            False, True, True, dq, True,
         )
         return float(jnp.sum(m.astype(jnp.float32).ravel()[:8]))
 

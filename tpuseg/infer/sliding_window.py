@@ -64,7 +64,7 @@ def _gaussian_patch_weight(patch, sigma_scale: float = 0.125):
     jax.jit,
     static_argnames=(
         "positions", "apply_fn", "patch", "batch_size", "num_classes",
-        "gaussian", "mask_only", "pack_mask",
+        "gaussian", "mask_only", "pack_mask", "packed_apply",
     ),
 )
 def _sliding_window_jit(
@@ -81,6 +81,11 @@ def _sliding_window_jit(
     mask_only: bool = False,
     pack_mask: bool = False,
     dequant=None,  # (scale, offset) f32 when the volume uploaded as uint8
+    packed_apply: bool = False,  # apply_fn returns space-to-depth-packed
+    #             probs (B, pd/2, ph/2, pw/2, 8*num_classes) — the merge,
+    #             argmax and weight accumulation then run entirely in the
+    #             packed (128-lane-friendly) layout; requires even volume
+    #             dims and even grid positions (models/vnet_packed.py)
 ):
     pd, ph, pw = patch
     patch_w = _gaussian_patch_weight(patch) if gaussian else None
@@ -108,31 +113,59 @@ def _sliding_window_jit(
             volume, (p[0], p[1], p[2], 0), (pd, ph, pw, c_in)
         )
 
-    acc = jnp.zeros(volume.shape[:3] + (num_classes,), jnp.float32)
-    wacc = jnp.zeros(volume.shape[:3] + (1,), jnp.float32) if need_wacc else None
+    if packed_apply:
+        if patch_w is not None:
+            from tpuseg.nn.layers import space_to_depth
+
+            patch_w = space_to_depth(patch_w[None], 3, 2)[0]  # (pd/2,...,8)
+        spd, sph, spw = pd // 2, ph // 2, pw // 2
+        acc_shape = tuple(s // 2 for s in volume.shape[:3])
+        acc = jnp.zeros(acc_shape + (8 * num_classes,), jnp.float32)
+        wacc = (
+            jnp.zeros(acc_shape + (8,), jnp.float32) if need_wacc else None
+        )
+    else:
+        spd, sph, spw = pd, ph, pw
+        acc = jnp.zeros(volume.shape[:3] + (num_classes,), jnp.float32)
+        wacc = (
+            jnp.zeros(volume.shape[:3] + (1,), jnp.float32) if need_wacc else None
+        )
+    acc_c = acc.shape[-1]
+    wacc_c = 8 if (packed_apply and need_wacc) else 1
 
     def body(carry, batch_idx):
         acc, wacc = carry
         sl = jax.lax.dynamic_slice(pad_pos, (batch_idx * batch_size, 0), (batch_size, 3))
         wsl = jax.lax.dynamic_slice(pos_w, (batch_idx * batch_size,), (batch_size,))
         patches = jax.vmap(extract)(sl)
-        probs = apply_fn(patches)  # (B, pd, ph, pw, num_classes)
+        probs = apply_fn(patches)  # (B, pd, ph, pw, C) or packed (B, pd/2,...)
+        if packed_apply:
+            sl = sl // 2
+        if packed_apply and patch_w is not None:
+            # per-delta weights: (pd/2, ph/2, pw/2, 8) -> broadcast per class
+            pw_map = jnp.repeat(patch_w, num_classes, axis=-1)
+        else:
+            pw_map = patch_w
 
         def scatter(carry, args):
             acc, wacc = carry
             p, prob, w = args
-            w_map = w * patch_w if patch_w is not None else w
+            w_map = w * pw_map if pw_map is not None else w
             cur = jax.lax.dynamic_slice(
-                acc, (p[0], p[1], p[2], 0), (pd, ph, pw, num_classes)
+                acc, (p[0], p[1], p[2], 0), (spd, sph, spw, acc_c)
             )
             acc = jax.lax.dynamic_update_slice(
                 acc, cur + prob * w_map, (p[0], p[1], p[2], 0)
             )
             if wacc is not None:
-                curw = jax.lax.dynamic_slice(wacc, (p[0], p[1], p[2], 0), (pd, ph, pw, 1))
+                ww = w * patch_w if patch_w is not None else (
+                    w * jnp.ones((spd, sph, spw, wacc_c), jnp.float32)
+                )
+                curw = jax.lax.dynamic_slice(
+                    wacc, (p[0], p[1], p[2], 0), (spd, sph, spw, wacc_c)
+                )
                 wacc = jax.lax.dynamic_update_slice(
-                    wacc, curw + (w_map if patch_w is not None else w),
-                    (p[0], p[1], p[2], 0),
+                    wacc, curw + ww, (p[0], p[1], p[2], 0)
                 )
             return (acc, wacc), None
 
@@ -141,12 +174,29 @@ def _sliding_window_jit(
 
     (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), jnp.arange(n_batches))
     if need_wacc:
-        probs = acc / jnp.maximum(wacc, 1e-7)
+        if packed_apply:
+            w_full = jnp.repeat(jnp.maximum(wacc, 1e-7), num_classes, axis=-1)
+            probs = acc / w_full
+        else:
+            probs = acc / jnp.maximum(wacc, 1e-7)
     else:
         probs = acc  # un-normalized; argmax-equivalent
     # device-side hard mask: fetching uint8 labels instead of float probs
     # cuts D2H volume ~8-16x (the relay link is the serving bottleneck)
-    if num_classes == 1:
+    if packed_apply:
+        sh = probs.shape[:3]
+        grouped = probs.reshape(sh + (8, num_classes))
+        if num_classes == 1:
+            mask_p = (grouped[..., 0] > 0.5).astype(jnp.uint8)
+        else:
+            mask_p = jnp.argmax(grouped, axis=-1).astype(jnp.uint8)
+        from tpuseg.models.vnet_packed import depth_to_space3d
+
+        mask = depth_to_space3d(mask_p[None])[0, ..., 0]
+        probs = depth_to_space3d(
+            probs.reshape(sh + (8 * num_classes,))[None]
+        )[0] if not mask_only else probs
+    elif num_classes == 1:
         mask = (probs[..., 0] > 0.5).astype(jnp.uint8)
     else:
         mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
@@ -171,6 +221,7 @@ def sliding_window_inference(
     transfer_dtype: Optional[str] = None,
     pack_mask: bool = False,
     dequant: Optional[Sequence[float]] = None,
+    packed_apply: bool = False,
 ):
     """Run `apply_fn` over an overlapping patch grid of `volume`
     ((D,H,W) or (D,H,W,C)) and return merged class probabilities
@@ -232,6 +283,15 @@ def sliding_window_inference(
     else:
         padded = vol
     positions = grid_positions(padded.shape[:3], patch, overlap)
+    if packed_apply and (
+        any(s % 2 for s in padded.shape[:3])
+        or any(p % 2 for p in patch)
+        or (positions % 2).any()
+    ):
+        raise ValueError(
+            "packed_apply requires even volume dims, patch dims, and grid "
+            f"positions (vol {padded.shape[:3]}, patch {patch})"
+        )
     do_pack = bool(
         pack_mask and return_mask and num_classes <= 2
         and int(np.prod(padded.shape[:3])) % 8 == 0
@@ -247,6 +307,7 @@ def sliding_window_inference(
         return_mask,
         do_pack,
         dequant,
+        packed_apply,
     )
     if return_mask:
         out = np.asarray(mask)

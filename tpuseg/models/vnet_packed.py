@@ -1,0 +1,377 @@
+"""Packed-stem VNet3d inference — the round-3 compute lever.
+
+Motivation (measured, benchmarks/fwd27_stage_profile.py + packed_conv_probe*):
+the bench's hot program (VNet3d 96^3 batch-27 bf16 forward) spends ~120 of
+~168 device-ms in the 96^3 C16 level — ~62 ms in conv+GN-stat fusions
+capped by the N=Cout=16 MXU lane ceiling, and ~58 ms in elementwise
+normalize/apply/copy fusions running at ~27/128 lane utilization because
+XLA lays those activations out with (C=16, B=27) on the minor dims.  The
+C32@48^3 level already runs ~43 TF/s effective and is left alone.
+
+Fix: execute the ENTIRE 96^3 level in the space-to-depth domain —
+activations live as (N, 48^3, 8*C) with 128 channels on the lanes:
+
+ * k3s1 SAME conv  == k4 stride-2 conv, fine -> packed
+   (W2[s,c,(delta,f)] = W[s-delta,c,f] for s-delta in [0,3); 64/27 = 2.37x
+   structural FLOP waste at a ~3.3x better rate: measured 29.8 vs 21.6
+   TF/s true-conv-equivalent at C16)
+ * k1 conv         == k2 stride-2 conv, fine -> packed (delta-placed)
+ * k2s2 down conv  == 1x1 conv, packed -> next level's fine (EXACT, no waste)
+ * k2s2 transpose  == 1x1 conv, fine -> packed (flax flip semantics)
+ * GroupNorm/ReLU/residual/concat-squeeze/head/softmax — all exact in the
+   packed channel layout (delta-major, f-minor, matching nn/layers.py
+   space_to_depth)
+
+Everything below the 96^3 level reuses the plain ops at their current
+(already near-ceiling) rates.  This is an INFERENCE formulation: it maps
+the PLAIN VNet(ndim=3) parameter pytree (training, checkpoints, torch
+import all unchanged) through compile-time weight transforms that fold to
+constants under a params-closure jit.
+
+Reference anchor for the op being accelerated:
+`/root/reference/networks/VNet3d.py:102-158` via `modelVNet.py` predict.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GN_EPS = 1e-6  # flax nn.GroupNorm default — exactness vs the plain model
+GROUPS = 8
+
+
+# ---------------------------------------------------------------------------
+# weight transforms (run at trace time on params — folded into the program)
+# ---------------------------------------------------------------------------
+
+
+def pack_k3_to_k4s2(w):
+    """(3,3,3,C,F) -> (4,4,4,C,8F): W2[s,c,(delta,f)] = W[s-delta,c,f].
+
+    Packed channel = delta-major, f-minor: ((dd*2+dh)*2+dw)*F + f —
+    matching nn/layers.py space_to_depth."""
+    k3, _, _, c, f = w.shape
+    assert k3 == 3
+    w2 = jnp.zeros((4, 4, 4, c, 8 * f), w.dtype)
+    for dd in range(2):
+        for dh in range(2):
+            for dw in range(2):
+                dflat = (dd * 2 + dh) * 2 + dw
+                w2 = w2.at[
+                    dd:dd + 3, dh:dh + 3, dw:dw + 3, :,
+                    dflat * f:(dflat + 1) * f,
+                ].add(w)
+    return w2
+
+
+def pack_k1_to_k2s2(w1):
+    """(1,1,1,C,F) -> (2,2,2,C,8F): the 1^3 conv lands each delta's output
+    from that delta's own fine voxel."""
+    c, f = w1.shape[-2:]
+    w2 = jnp.zeros((2, 2, 2, c, 8 * f), w1.dtype)
+    for dd in range(2):
+        for dh in range(2):
+            for dw in range(2):
+                dflat = (dd * 2 + dh) * 2 + dw
+                w2 = w2.at[dd, dh, dw, :, dflat * f:(dflat + 1) * f].set(
+                    w1[0, 0, 0]
+                )
+    return w2
+
+
+def pack_down_k2s2_to_1x1(w):
+    """k2s2 VALID down conv (2,2,2,C,F) consuming packed input:
+    1x1 conv with W1[(delta,c), f] = W[delta, c, f]."""
+    _, _, _, c, f = w.shape
+    w1 = jnp.zeros((1, 1, 1, 8 * c, f), w.dtype)
+    for dd in range(2):
+        for dh in range(2):
+            for dw in range(2):
+                dflat = (dd * 2 + dh) * 2 + dw
+                w1 = w1.at[0, 0, 0, dflat * c:(dflat + 1) * c, :].set(
+                    w[dd, dh, dw]
+                )
+    return w1
+
+
+def pack_transpose_k2s2_to_1x1(wt):
+    """flax ConvTranspose k2s2 VALID kernel (2,2,2,Cin,F) producing packed
+    output: out[2q+delta] = x[q] @ K[1-delta] (flax places the flipped
+    kernel; nn/layers.py ConvTransposeND comment) -> 1x1 conv
+    W1[c, (delta,f)] = K[1-dd,1-dh,1-dw, c, f]."""
+    _, _, _, c, f = wt.shape
+    w1 = jnp.zeros((1, 1, 1, c, 8 * f), wt.dtype)
+    for dd in range(2):
+        for dh in range(2):
+            for dw in range(2):
+                dflat = (dd * 2 + dh) * 2 + dw
+                w1 = w1.at[0, 0, 0, :, dflat * f:(dflat + 1) * f].set(
+                    wt[1 - dd, 1 - dh, 1 - dw]
+                )
+    return w1
+
+
+def tile_channel_packed(v):
+    """Per-f vector (F,) -> packed (8F,) by delta-major tiling."""
+    return jnp.tile(v, 8)
+
+
+# ---------------------------------------------------------------------------
+# packed elementwise / norm ops
+# ---------------------------------------------------------------------------
+
+
+def gn_packed(x, scale, bias, compute_dtype=None):
+    """GroupNorm(8) on packed (N, D', H', W', 8F) == flax GroupNorm(8) on
+    the fine tensor: per (sample, group) stats over spatial x delta x
+    group-channels; fast-variance formula, f32 stats (flax promotes)."""
+    n = x.shape[0]
+    f = x.shape[-1] // 8
+    g = x.reshape(n, -1, 8, GROUPS, f // GROUPS).astype(jnp.float32)
+    mean = jnp.mean(g, axis=(1, 2, 4), keepdims=True)
+    mean2 = jnp.mean(g * g, axis=(1, 2, 4), keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + GN_EPS)
+    y = (g - mean) * inv
+    y = y.reshape(x.shape).astype(x.dtype)
+    return y * tile_channel_packed(scale).astype(x.dtype) + tile_channel_packed(
+        bias
+    ).astype(x.dtype)
+
+
+def gn_fine(x, scale, bias):
+    """flax-equivalent GroupNorm(8) for the unpacked levels."""
+    n = x.shape[0]
+    c = x.shape[-1]
+    g = x.reshape(n, -1, GROUPS, c // GROUPS).astype(jnp.float32)
+    mean = jnp.mean(g, axis=(1, 3), keepdims=True)
+    mean2 = jnp.mean(g * g, axis=(1, 3), keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + GN_EPS)
+    y = ((g - mean) * inv).reshape(x.shape).astype(x.dtype)
+    return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def _conv(x, w, strides=(1, 1, 1), padding="SAME"):
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), strides, padding, dimension_numbers=DN,
+        preferred_element_type=x.dtype,
+    )
+
+
+def _conv_t(x, w, strides=(2, 2, 2)):
+    return jax.lax.conv_transpose(
+        x, w.astype(x.dtype), strides, "VALID", dimension_numbers=DN,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the forward
+# ---------------------------------------------------------------------------
+
+
+def _p(params, *path):
+    node = params["params"]
+    for k in path:
+        node = node[k]
+    return node
+
+
+def _luconv_fine(x, p, train_dtype):
+    w = p["ConvND_0"]["Conv_0"]
+    y = _conv(x, w["kernel"]) + w["bias"].astype(x.dtype)
+    y = gn_fine(y, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"])
+    return jax.nn.relu(y)
+
+
+def _down_fine(x, p, n_convs):
+    w = p["ConvND_0"]["Conv_0"]
+    down = _conv(x, w["kernel"], strides=(2, 2, 2), padding="VALID")
+    down = down + w["bias"].astype(x.dtype)
+    down = gn_fine(down, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"])
+    down = jax.nn.relu(down)
+    out = down
+    for i in range(n_convs):
+        out = _luconv_fine(out, p[f"LUConv_{i}"], x.dtype)
+    return out + down
+
+
+def _up_fine(x, skip, p, n_convs):
+    wt = p["ConvTransposeND_0"]["ConvTranspose_0"]
+    up = _conv_t(x, wt["kernel"]) + wt["bias"].astype(x.dtype)
+    up = gn_fine(up, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"])
+    up = jax.nn.relu(up)
+    cat = jnp.concatenate([up, skip], axis=-1)
+    w1 = p["ConvND_0"]["Conv_0"]
+    cat = _conv(cat, w1["kernel"]) + w1["bias"].astype(x.dtype)
+    cat = gn_fine(cat, p["GroupNorm_1"]["scale"], p["GroupNorm_1"]["bias"])
+    cat = jax.nn.relu(cat)
+    out = cat
+    for i in range(n_convs):
+        out = _luconv_fine(out, p[f"LUConv_{i}"], x.dtype)
+    return out + cat
+
+
+# decoder-96 LUConv strategy: "k4s2" (depth-to-space then the k4s2 conv —
+# needs the d2s) or "k3dense" (stay packed, k3-coarse with 1/8-dense
+# weights).  Chosen by measurement; see benchmarks/packed_vnet_probe.py.
+LUCONV96_MODE = "k3dense"
+
+
+def _k3_coarse_select():
+    """Per-axis selection tensor A[u, delta_in, delta_out, t] = 1 iff the
+    coarse tap u and sub-positions map to fine tap t = 2(u-1)+din-dout+1."""
+    a = np.zeros((3, 2, 2, 3), np.float32)
+    for u in range(3):
+        for din in range(2):
+            for dout in range(2):
+                t = 2 * (u - 1) + din - dout + 1
+                if 0 <= t < 3:
+                    a[u, din, dout, t] = 1.0
+    return a
+
+
+_K3_COARSE_A = _k3_coarse_select()
+
+
+def pack_k3_to_k3_coarse(w):
+    """(3,3,3,C,F) -> (3,3,3,8C,8F) packed->packed k3 conv (1/8 dense):
+    W3[u,(delta',c),(delta,f)] = W[t,c,f] where t = 2(u-1) + delta' - delta
+    lands in [0,3).  Pure-jnp (works on traced params)."""
+    _, _, _, c, f = w.shape
+    a = jnp.asarray(_K3_COARSE_A, w.dtype)
+    # axes: (u1 A d)(u2 B e)(u3 C g) x w[t u v, cin, cout]
+    w3 = jnp.einsum(
+        "aAdt,bBeu,cCgv,tuvxy->abcABCxdegy", a, a, a, w
+    )
+    return w3.reshape(3, 3, 3, 8 * c, 8 * f)
+
+
+def depth_to_space3d(x):
+    """(N, D', H', W', 8C) -> (N, 2D', 2H', 2W', C), delta-major channels."""
+    n, d, h, w, c8 = x.shape
+    c = c8 // 8
+    x = x.reshape(n, d, h, w, 2, 2, 2, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(n, 2 * d, 2 * h, 2 * w, c)
+
+
+def packed_vnet3d_probs(params, x, num_classes=2, features=16,
+                        return_packed=False):
+    """Exact VNet3d forward with the 96^3 level executed packed.
+
+    `params`: the PLAIN VNet(ndim=3) param pytree.  `x`: (N, D, H, W, 1)
+    with D,H,W divisible by 32.  Returns softmax probs (N, D, H, W, K) —
+    or, with return_packed=True, the packed probs (N, D/2, H/2, W/2, 8K)
+    (delta-major) so callers (sliding-window merge) can stay packed.
+    """
+    f = features
+    pit = _p(params, "InputTransition_0")
+
+    # ---- InputTransition, packed ----
+    wa = pit["ConvND_0"]["Conv_0"]
+    wb = pit["ConvND_1"]["Conv_0"]
+    a = _conv(x, pack_k3_to_k4s2(wa["kernel"]), strides=(2, 2, 2),
+              padding=[(1, 2)] * 3)
+    a = a + tile_channel_packed(wa["bias"]).astype(x.dtype)
+    b = _conv(x, pack_k1_to_k2s2(wb["kernel"]), strides=(2, 2, 2),
+              padding="VALID")
+    b = b + tile_channel_packed(wb["bias"]).astype(x.dtype)
+    gs, gb = pit["GroupNorm_0"]["scale"], pit["GroupNorm_0"]["bias"]
+    a = jax.nn.relu(gn_packed(a, gs, gb))
+    b = jax.nn.relu(gn_packed(b, gs, gb))
+    out16p = a + b  # (N, D/2, H/2, W/2, 128) — the packed skip
+
+    # ---- DownTransition_0 entry: k2s2 down == 1x1 on packed ----
+    pdt = _p(params, "DownTransition_0")
+    wd = pdt["ConvND_0"]["Conv_0"]
+    down32 = _conv(out16p, pack_down_k2s2_to_1x1(wd["kernel"]),
+                   padding="VALID")
+    down32 = down32 + wd["bias"].astype(x.dtype)
+    down32 = gn_fine(down32, pdt["GroupNorm_0"]["scale"],
+                     pdt["GroupNorm_0"]["bias"])
+    down32 = jax.nn.relu(down32)
+    out32 = down32
+    for i in range(2):
+        out32 = _luconv_fine(out32, pdt[f"LUConv_{i}"], x.dtype)
+    out32 = out32 + down32
+
+    # ---- plain levels (already near-ceiling) ----
+    out64 = _down_fine(out32, _p(params, "DownTransition_1"), 3)
+    out128 = _down_fine(out64, _p(params, "DownTransition_2"), 3)
+    out256 = _down_fine(out128, _p(params, "DownTransition_3"), 3)
+    up = _up_fine(out256, out128, _p(params, "UpTransition_0"), 3)
+    up = _up_fine(up, out64, _p(params, "UpTransition_1"), 3)
+    up48 = _up_fine(up, out32, _p(params, "UpTransition_2"), 2)
+
+    # ---- UpTransition_3 (96^3 level), packed ----
+    put = _p(params, "UpTransition_3")
+    wt = put["ConvTransposeND_0"]["ConvTranspose_0"]
+    upp = _conv(up48, pack_transpose_k2s2_to_1x1(wt["kernel"]),
+                padding="VALID")
+    upp = upp + tile_channel_packed(wt["bias"]).astype(x.dtype)
+    upp = jax.nn.relu(
+        gn_packed(upp, put["GroupNorm_0"]["scale"], put["GroupNorm_0"]["bias"])
+    )
+    # concat(up, skip) then the 1x1 squeeze, fused: build the squeeze
+    # weight for the [upp(delta-major f16) ; out16p(delta-major f16)]
+    # packed-channel order directly — no explicit permute
+    wsq = put["ConvND_0"]["Conv_0"]["kernel"][0, 0, 0]  # (32, 16)
+    w_up, w_skip = wsq[:f], wsq[f:]
+    wsq_packed = jnp.zeros((1, 1, 1, 256, 128), wsq.dtype)
+    for dflat in range(8):
+        wsq_packed = wsq_packed.at[
+            0, 0, 0, dflat * f:(dflat + 1) * f, dflat * f:(dflat + 1) * f
+        ].set(w_up)
+        wsq_packed = wsq_packed.at[
+            0, 0, 0, 128 + dflat * f:128 + (dflat + 1) * f,
+            dflat * f:(dflat + 1) * f,
+        ].set(w_skip)
+    catp = _conv(jnp.concatenate([upp, out16p], axis=-1), wsq_packed,
+                 padding="VALID")
+    catp = catp + tile_channel_packed(
+        put["ConvND_0"]["Conv_0"]["bias"]
+    ).astype(x.dtype)
+    catp = jax.nn.relu(
+        gn_packed(catp, put["GroupNorm_1"]["scale"], put["GroupNorm_1"]["bias"])
+    )
+    # LUConv_0 at the 96^3 level
+    plu = put["LUConv_0"]
+    wl = plu["ConvND_0"]["Conv_0"]
+    if LUCONV96_MODE == "k3dense":
+        lu = _conv(catp, pack_k3_to_k3_coarse(wl["kernel"]), padding="SAME")
+    else:  # d2s + k4s2
+        cat_fine = depth_to_space3d(catp)
+        lu = _conv(cat_fine, pack_k3_to_k4s2(wl["kernel"]), strides=(2, 2, 2),
+                   padding=[(1, 2)] * 3)
+    lu = lu + tile_channel_packed(wl["bias"]).astype(x.dtype)
+    lu = jax.nn.relu(
+        gn_packed(lu, plu["GroupNorm_0"]["scale"], plu["GroupNorm_0"]["bias"])
+    )
+    outp = lu + catp
+
+    # ---- head, packed ----
+    ph = _p(params, "OutputHead_0")["ConvND_0"]["Conv_0"]
+    wh = ph["kernel"][0, 0, 0]  # (16, K)
+    wh_packed = jnp.zeros((1, 1, 1, 128, 8 * num_classes), wh.dtype)
+    for dflat in range(8):
+        wh_packed = wh_packed.at[
+            0, 0, 0, dflat * f:(dflat + 1) * f,
+            dflat * num_classes:(dflat + 1) * num_classes,
+        ].set(wh)
+    logitsp = _conv(outp, wh_packed, padding="VALID")
+    logitsp = logitsp + tile_channel_packed(ph["bias"]).astype(x.dtype)
+    n, dp, hp, wp, _ = logitsp.shape
+    if num_classes == 1:
+        probsp = jax.nn.sigmoid(logitsp)
+    else:
+        probsp = jax.nn.softmax(
+            logitsp.reshape(n, dp, hp, wp, 8, num_classes), axis=-1
+        ).reshape(n, dp, hp, wp, 8 * num_classes)
+    if return_packed:
+        return probsp
+    return depth_to_space3d(probsp)

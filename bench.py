@@ -356,36 +356,47 @@ def main():
     )
 
     # ---------------- secondary: UNet3d train steps/sec ------------------
+    # packed_stem=True (models/unet_packed.py): the finest level runs
+    # space-to-depth packed — same param pytree, exact grads (f64-parity
+    # tested), measured 169 -> 66 ms/step.  The plain step is reported
+    # alongside.
     TRAIN_SHAPE = (128, 112, 112)  # (D,H,W) = reference KiPA 112x112x128
-    unet = UNet(ndim=3, num_classes=5, features=16, dropout=0.2)
-    trainer = make_segmentation_trainer(
-        unet,
-        example_image=np.zeros((1, *TRAIN_SHAPE, 1), np.float32),
-        num_classes=5,
-        loss_name="MutilDiceLoss",
-        alpha=[1.0] * 5,
-        config=TrainerConfig(epochs=1, lr=1e-3, optimizer="adam"),
-    )
-    trainer._build_steps()
     rng = np.random.default_rng(0)
     batch = {
         "image": rng.normal(size=(1, *TRAIN_SHAPE, 1)).astype(np.float32),
         "label": rng.integers(0, 5, size=(1, *TRAIN_SHAPE)).astype(np.int32),
     }
-    dev_batch = trainer._put(batch)
-    state, m = trainer._train_step(trainer.state, dev_batch)  # compile
-    _ = float(m["loss"])  # real sync (block_until_ready is a relay no-op)
     steps = 10
-    holder = {"state": state}  # chain across passes: the step DONATES state
+    train_passes = {}
+    for variant, packed in (("packed", True), ("plain", False)):
+        unet = UNet(ndim=3, num_classes=5, features=16, dropout=0.2)
+        trainer = make_segmentation_trainer(
+            unet,
+            example_image=np.zeros((1, *TRAIN_SHAPE, 1), np.float32),
+            num_classes=5,
+            loss_name="MutilDiceLoss",
+            alpha=[1.0] * 5,
+            config=TrainerConfig(epochs=1, lr=1e-3, optimizer="adam"),
+            packed_stem=packed,
+        )
+        trainer._build_steps()
+        dev_batch = trainer._put(batch)
+        state, m = trainer._train_step(trainer.state, dev_batch)  # compile
+        _ = float(m["loss"])  # real sync (block_until_ready is a relay no-op)
+        holder = {"state": state}  # chain passes: the step DONATES state
 
-    def train_pass():
-        s = holder["state"]
-        for _ in range(steps):
-            s, mm = trainer._train_step(s, dev_batch)
-        _ = float(mm["loss"])  # drain the queue before stopping the clock
-        holder["state"] = s
+        def train_pass(trainer=trainer, dev_batch=dev_batch, holder=holder):
+            s = holder["state"]
+            for _ in range(steps):
+                s, mm = trainer._train_step(s, dev_batch)
+            _ = float(mm["loss"])  # drain the queue before stopping the clock
+            holder["state"] = s
 
-    train_steps_per_sec = steps / interleaved_times({"t": train_pass}, 3)[0]["t"]
+        train_passes[variant] = train_pass
+
+    train_min, _train_med = interleaved_times(train_passes, 3)
+    train_steps_per_sec = steps / train_min["packed"]
+    train_steps_per_sec_plain = steps / train_min["plain"]
     # modeled A100 train step (assumptions in the module docstring):
     # fwd+bwd = 3x fwd FLOPs at 6 TF/s effective + 10 ms host overhead
     train_fwd_flops = unet3d_fwd_flops(TRAIN_SHAPE, 16, 5)
@@ -447,6 +458,9 @@ def main():
                     "patches_per_volume": int(n_patches),
                     "unet3d_train_steps_per_sec_112x112x128_bs1": round(
                         train_steps_per_sec, 4
+                    ),
+                    "unet3d_train_steps_per_sec_plain_stem": round(
+                        train_steps_per_sec_plain, 4
                     ),
                     "train_vs_baseline": round(
                         train_steps_per_sec / a100_train_steps_per_sec, 3

@@ -73,6 +73,7 @@ def main(argv=None):
         ),
         mesh=mesh,
         viz_fn=make_seg_viz(cfg.model.num_classes, ndim),
+        packed_stem=cfg.train.packed_stem,
     )
     if cfg.train.profile:
         from tpuseg.tools.profiling import trace_steps

@@ -52,6 +52,9 @@ class TrainConfig:
     mesh_data: int = -1             # -1: all devices data-parallel
     mesh_model: int = 1
     mesh_space: int = 1             # >1: z-sharded spatial training (tasks/spatial.py)
+    packed_stem: bool = False       # UNet3d: space-to-depth packed finest
+    #                                 level (models/unet_packed.py) — exact
+    #                                 grads, measured 2.6x faster train step
     profile: bool = False           # jax.profiler trace of a few steps
 
 

@@ -125,10 +125,12 @@ def tile_channel_packed(v):
 def gn_packed(x, scale, bias, compute_dtype=None):
     """GroupNorm(8) on packed (N, D', H', W', 8F) == flax GroupNorm(8) on
     the fine tensor: per (sample, group) stats over spatial x delta x
-    group-channels; fast-variance formula, f32 stats (flax promotes)."""
+    group-channels; fast-variance formula, stats promoted to at least
+    f32 (flax semantics; stays f64 under x64 for exactness tests)."""
     n = x.shape[0]
     f = x.shape[-1] // 8
-    g = x.reshape(n, -1, 8, GROUPS, f // GROUPS).astype(jnp.float32)
+    stat_dt = jnp.promote_types(x.dtype, jnp.float32)
+    g = x.reshape(n, -1, 8, GROUPS, f // GROUPS).astype(stat_dt)
     mean = jnp.mean(g, axis=(1, 2, 4), keepdims=True)
     mean2 = jnp.mean(g * g, axis=(1, 2, 4), keepdims=True)
     var = jnp.maximum(mean2 - mean * mean, 0.0)
@@ -144,7 +146,8 @@ def gn_fine(x, scale, bias):
     """flax-equivalent GroupNorm(8) for the unpacked levels."""
     n = x.shape[0]
     c = x.shape[-1]
-    g = x.reshape(n, -1, GROUPS, c // GROUPS).astype(jnp.float32)
+    stat_dt = jnp.promote_types(x.dtype, jnp.float32)
+    g = x.reshape(n, -1, GROUPS, c // GROUPS).astype(stat_dt)
     mean = jnp.mean(g, axis=(1, 3), keepdims=True)
     mean2 = jnp.mean(g * g, axis=(1, 3), keepdims=True)
     var = jnp.maximum(mean2 - mean * mean, 0.0)

@@ -30,6 +30,7 @@ def make_segmentation_trainer(
     mesh: Optional[MeshContext] = None,
     seed: int = 0,
     viz_fn=None,
+    packed_stem: bool = False,
 ) -> Trainer:
     config = config or TrainerConfig()
 
@@ -43,6 +44,12 @@ def make_segmentation_trainer(
         and mesh.mesh.shape.get("space", 1) > 1
         and mesh.mesh.shape.get("model", 1) == 1
     ):
+        if packed_stem:
+            raise ValueError(
+                "packed_stem is incompatible with spatial (space>1) "
+                "training: the z-sharded halo convs operate in the fine "
+                "domain (tasks/spatial.py)"
+            )
         from tpuseg.tasks.spatial import make_spatial_segmentation_trainer
 
         return make_spatial_segmentation_trainer(
@@ -55,14 +62,38 @@ def make_segmentation_trainer(
 
     params = model.init(jax.random.key(seed), jnp.asarray(example_image))
 
-    def apply_fn(params, batch, train, rng):
-        rngs = {"dropout": rng} if (train and rng is not None) else None
-        out = model.apply(params, batch["image"], train=train, rngs=rngs)
-        if len(out) == 3:  # deep-supervision nets: (logits, probs, aux_logits)
-            logits, probs, aux = out
-            return {"logits": logits, "probs": probs, "ds_logits": aux}
-        logits, probs = out
-        return {"logits": logits, "probs": probs}
+    if packed_stem:
+        # space-to-depth packed finest level (models/unet_packed.py):
+        # identical parameter pytree (checkpoints/interop unchanged),
+        # exact forward AND grads (tests/test_unet_packed.py), ~3x faster
+        # fwd+bwd on the lane-starved level-0 blocks at batch 1.
+        from tpuseg.models.unet import UNet
+        from tpuseg.models.unet_packed import packed_unet3d_apply
+
+        if not (isinstance(model, UNet) and model.ndim == 3):
+            raise ValueError(
+                "packed_stem=True supports UNet(ndim=3) (models/unet.py); "
+                f"got {type(model).__name__}"
+            )
+
+        def apply_fn(params, batch, train, rng):
+            logits, probs = packed_unet3d_apply(
+                params, batch["image"], num_classes=num_classes,
+                features=model.features, levels=model.levels,
+                dropout=model.dropout, train=train,
+                rng=rng if train else None,
+            )
+            return {"logits": logits, "probs": probs}
+
+    else:
+        def apply_fn(params, batch, train, rng):
+            rngs = {"dropout": rng} if (train and rng is not None) else None
+            out = model.apply(params, batch["image"], train=train, rngs=rngs)
+            if len(out) == 3:  # deep-supervision nets: (logits, probs, aux_logits)
+                logits, probs, aux = out
+                return {"logits": logits, "probs": probs, "ds_logits": aux}
+            logits, probs = out
+            return {"logits": logits, "probs": probs}
 
     # deep supervision: auxiliary heads weighted 1/2, 1/4, 1/8 … coarsest last
     def _ds_extra(outputs, batch):

@@ -157,14 +157,16 @@ def test_trainer_packed_stem_step_matches_plain():
     np.testing.assert_allclose(losses[True], losses[False], rtol=2e-4)
 
 
-def test_trainer_packed_stem_rejects_non_unet3d():
-    from tpuseg.models.vnet import VNet
+def test_trainer_packed_stem_rejects_unsupported_model():
+    """packed_stem supports UNet(ndim=3) and VNet(ndim=3) only; a 2D
+    UNet must be rejected with a clear error."""
+    from tpuseg.models.unet import UNet
     from tpuseg.tasks.segmentation import make_segmentation_trainer
 
     with pytest.raises(ValueError, match="packed_stem"):
         make_segmentation_trainer(
-            VNet(ndim=3, num_classes=2, features=16),
-            example_image=np.zeros((1, 16, 16, 16, 1), np.float32),
+            UNet(ndim=2, num_classes=2, features=16),
+            example_image=np.zeros((1, 16, 16, 1), np.float32),
             num_classes=2,
             loss_name="BinaryDiceLoss",
             packed_stem=True,

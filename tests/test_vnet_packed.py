@@ -79,3 +79,106 @@ def test_sliding_window_packed_apply_matches_plain(setup):
         vol, apply_fn=apply_packed, packed_apply=True, **kw
     )
     np.testing.assert_allclose(probs_pk, probs_ref, atol=2e-4)
+
+
+def test_vnet_packed_apply_grads_exact_f64():
+    """packed_vnet3d_apply grad parity vs the flax VNet in f64 (dropout
+    off): the weight transforms are linear, so plain-tree grads match."""
+    import jax
+    from tpuseg.models.vnet import VNet
+    from tpuseg.models.vnet_packed import packed_vnet3d_apply
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        model = VNet(ndim=3, num_classes=2, features=16, dropout=0.2)
+        x32 = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 32, 32, 32, 1)),
+            jnp.float32,
+        )
+        params = model.init(jax.random.key(0), x32)
+        to64 = lambda t: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a), jnp.float64), t
+        )
+        params64 = to64(params)
+        x64 = jnp.asarray(np.asarray(x32), jnp.float64)
+        cot = jnp.asarray(
+            np.random.default_rng(1).normal(size=(1, 32, 32, 32, 2)),
+            jnp.float64,
+        )
+
+        def loss_plain(p):
+            lg, pr = model.apply(p, x64)
+            return jnp.sum(lg * cot) + jnp.sum(pr * pr)
+
+        def loss_packed(p):
+            lg, pr = packed_vnet3d_apply(p, x64, num_classes=2)
+            return jnp.sum(lg * cot) + jnp.sum(pr * pr)
+
+        v1, g1 = jax.value_and_grad(loss_plain)(params64)
+        v2, g2 = jax.value_and_grad(loss_packed)(params64)
+        assert abs(v1 - v2) / abs(v1) < 1e-10
+        from jax.tree_util import keystr, tree_leaves_with_path
+
+        flat2 = {keystr(k): v for k, v in tree_leaves_with_path(g2)}
+        for k, a in tree_leaves_with_path(g1):
+            np.testing.assert_allclose(
+                flat2[keystr(k)], a, rtol=1e-7, atol=1e-7,
+                err_msg=f"grad mismatch at {keystr(k)}",
+            )
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_vnet_packed_trainer_step_matches_plain():
+    """make_segmentation_trainer(VNet3d, packed_stem=True) matches the
+    plain trainer's loss trajectory (dropout off)."""
+    from tpuseg.models.vnet import VNet
+    from tpuseg.tasks.segmentation import make_segmentation_trainer
+    from tpuseg.tasks.trainer import TrainerConfig
+
+    model = VNet(ndim=3, num_classes=2, features=16, dropout=0.0)
+    rng = np.random.default_rng(5)
+    batch = {
+        "image": rng.normal(size=(1, 32, 32, 32, 1)).astype(np.float32),
+        "label": (rng.random(size=(1, 32, 32, 32)) > 0.7).astype(np.int32),
+    }
+    losses = {}
+    for packed in (False, True):
+        tr = make_segmentation_trainer(
+            model,
+            example_image=batch["image"],
+            num_classes=2,
+            loss_name="MutilDiceLoss",
+            alpha=[1.0, 1.0],
+            config=TrainerConfig(epochs=1, lr=1e-3, optimizer="adam"),
+            packed_stem=packed,
+        )
+        tr._build_steps()
+        state = tr.state
+        db = tr._put(batch)
+        ls = []
+        for _ in range(3):
+            state, m = tr._train_step(state, db)
+            ls.append(float(m["loss"]))
+        losses[packed] = ls
+    np.testing.assert_allclose(losses[True], losses[False], rtol=2e-4)
+
+
+def test_vnet_packed_dropout_runs():
+    from tpuseg.models.vnet import VNet
+    from tpuseg.models.vnet_packed import packed_vnet3d_apply
+
+    model = VNet(ndim=3, num_classes=2, features=16, dropout=0.2)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 32, 32, 32, 1)), jnp.float32
+    )
+    params = model.init(jax.random.key(0), x)
+    lg0, _ = packed_vnet3d_apply(params, x, num_classes=2)
+    lg1, _ = packed_vnet3d_apply(
+        params, x, num_classes=2, train=True, rng=jax.random.key(7)
+    )
+    lg1b, _ = packed_vnet3d_apply(
+        params, x, num_classes=2, train=True, rng=jax.random.key(7)
+    )
+    np.testing.assert_allclose(lg1, lg1b, rtol=1e-6)
+    assert not np.allclose(lg0, lg1, atol=1e-3)

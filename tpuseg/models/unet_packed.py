@@ -37,6 +37,7 @@ import numpy as np
 from tpuseg.models.vnet_packed import (
     _conv,
     _conv_t,
+    channel_dropout as _channel_dropout_impl,
     depth_to_space3d,
     gn_fine,
     gn_packed,
@@ -61,18 +62,7 @@ def _concat_perm(f: int):
     return idx
 
 
-def _channel_dropout(x, rate, rng, tile8: bool):
-    """torch Dropout3d semantics (drop whole channels, broadcast over
-    space); in the packed layout the 8 delta copies of a fine channel
-    share one mask so the fine-domain semantics are preserved exactly."""
-    if rate == 0.0 or rng is None:
-        return x
-    c = x.shape[-1] // (8 if tile8 else 1)
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, 1, c))
-    if tile8:
-        mask = jnp.tile(mask, (1, 1, 1, 1, 8))
-    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+_channel_dropout = _channel_dropout_impl  # shared impl (vnet_packed.py)
 
 
 def _convblock_fine(x, p, rate, rngs):

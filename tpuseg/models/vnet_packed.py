@@ -117,6 +117,84 @@ def tile_channel_packed(v):
     return jnp.tile(v, 8)
 
 
+def pack_down_k2s2_packed_to_packed(w):
+    """k2s2 VALID down conv (2,2,2,C,F), packed input AND packed output:
+    out_packed[m,(delta,f)] = sum_s W[s] . fine_in[4m+2delta+s], where
+    fine_in[j] = packed_in[j//2, (j%2,c)] -> a k2s2 conv on the packed
+    grid with W2[tau][(s',c),(delta,f)] = W[s][c,f] at tau=(2delta+s')//2,
+    s=(2delta+s')%2... derived per axis: for each (delta, s') exactly one
+    coarse tap tau=(2*delta+s')//2 contributes fine tap s=(2*delta+s')%2.
+    1/8-dense."""
+    _, _, _, c, f = w.shape
+    w2 = jnp.zeros((2, 2, 2, 8 * c, 8 * f), w.dtype)
+    for dd in range(2):
+        for dh in range(2):
+            for dw_ in range(2):
+                dflat = (dd * 2 + dh) * 2 + dw_
+                for sd in range(2):
+                    for sh in range(2):
+                        for sw in range(2):
+                            sflat = (sd * 2 + sh) * 2 + sw
+                            td, s_d = (2 * dd + sd) // 2, (2 * dd + sd) % 2
+                            th, s_h = (2 * dh + sh) // 2, (2 * dh + sh) % 2
+                            tw, s_w = (2 * dw_ + sw) // 2, (2 * dw_ + sw) % 2
+                            w2 = w2.at[
+                                td, th, tw,
+                                sflat * c:(sflat + 1) * c,
+                                dflat * f:(dflat + 1) * f,
+                            ].set(w[s_d, s_h, s_w])
+    return w2
+
+
+def pack_transpose_k2s2_packed_to_packed(wt):
+    """flax ConvTranspose k2s2 VALID kernel (2,2,2,Cin,F), packed input
+    AND packed output: out_packed[2n+eps,(delta,f)] =
+    K[1-delta] . fine_in[2n+eps] = K[1-delta] . packed_in[n,(eps,c)].
+    With flax's flip semantics (out[2n+eps] = in[n] @ W2[1-eps]):
+    W2[tau][(eps',c),(delta,f)] = K[1-delta][c,f] iff eps' == 1-tau."""
+    _, _, _, c, f = wt.shape
+    w2 = jnp.zeros((2, 2, 2, 8 * c, 8 * f), wt.dtype)
+    for dd in range(2):
+        for dh in range(2):
+            for dw_ in range(2):
+                dflat = (dd * 2 + dh) * 2 + dw_
+                for td in range(2):
+                    for th in range(2):
+                        for tw in range(2):
+                            ed, eh, ew = 1 - td, 1 - th, 1 - tw
+                            eflat = (ed * 2 + eh) * 2 + ew
+                            w2 = w2.at[
+                                td, th, tw,
+                                eflat * c:(eflat + 1) * c,
+                                dflat * f:(dflat + 1) * f,
+                            ].set(wt[1 - dd, 1 - dh, 1 - dw_])
+    return w2
+
+
+def block_diag_1x1_packed(w1, extra_in_blocks=()):
+    """Fine 1x1 conv (Cin, F) -> packed block-diagonal (8*Cin, 8F) 1x1.
+
+    With extra_in_blocks=(w_a, w_b, ...) builds the packed weight for a
+    conv consuming the packed concat [x_a ; x_b ; ...] (each delta-major)
+    split of the fine input channels: w1 must be pre-split by the caller
+    and passed as the tuple; returns (1,1,1, 8*sum(Cin_i), 8F)."""
+    blocks = extra_in_blocks or (w1,)
+    f = blocks[0].shape[-1]
+    total_in = sum(b.shape[0] for b in blocks)
+    wp = jnp.zeros((1, 1, 1, 8 * total_in, 8 * f), blocks[0].dtype)
+    off = 0
+    for b in blocks:
+        c = b.shape[0]
+        for dflat in range(8):
+            wp = wp.at[
+                0, 0, 0,
+                off + dflat * c:off + (dflat + 1) * c,
+                dflat * f:(dflat + 1) * f,
+            ].set(b)
+        off += 8 * c
+    return wp
+
+
 # ---------------------------------------------------------------------------
 # packed elementwise / norm ops
 # ---------------------------------------------------------------------------
@@ -156,6 +234,20 @@ def gn_fine(x, scale, bias):
     return y * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
+def channel_dropout(x, rate, rng, tile8: bool):
+    """torch Dropout3d semantics (drop whole channels, broadcast over
+    space); in the packed layout the 8 delta copies of a fine channel
+    share one mask so the fine-domain semantics are preserved exactly."""
+    if rate == 0.0 or rng is None:
+        return x
+    c = x.shape[-1] // (8 if tile8 else 1)
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, 1, c))
+    if tile8:
+        mask = jnp.tile(mask, (1, 1, 1, 1, 8))
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
 DN = ("NDHWC", "DHWIO", "NDHWC")
 
 
@@ -184,38 +276,54 @@ def _p(params, *path):
     return node
 
 
-def _luconv_fine(x, p, train_dtype):
+def _luconv_fine(x, p, rate=0.0, rng=None):
     w = p["ConvND_0"]["Conv_0"]
     y = _conv(x, w["kernel"]) + w["bias"].astype(x.dtype)
     y = gn_fine(y, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"])
+    y = channel_dropout(y, rate, rng, tile8=False)
     return jax.nn.relu(y)
 
 
-def _down_fine(x, p, n_convs):
+def _luconv_packed(x, p, rate=0.0, rng=None):
+    """LUConv on packed activations: k3-coarse 1/8-dense conv."""
+    w = p["ConvND_0"]["Conv_0"]
+    y = _conv(x, pack_k3_to_k3_coarse(w["kernel"]), padding="SAME")
+    y = y + tile_channel_packed(w["bias"]).astype(x.dtype)
+    y = gn_packed(y, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"])
+    y = channel_dropout(y, rate, rng, tile8=True)
+    return jax.nn.relu(y)
+
+
+def _down_fine(x, p, n_convs, rate=0.0, rngs=None):
+    rngs = rngs or [None] * (1 + n_convs)
     w = p["ConvND_0"]["Conv_0"]
     down = _conv(x, w["kernel"], strides=(2, 2, 2), padding="VALID")
     down = down + w["bias"].astype(x.dtype)
     down = gn_fine(down, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"])
+    down = channel_dropout(down, rate, rngs[0], tile8=False)
     down = jax.nn.relu(down)
     out = down
     for i in range(n_convs):
-        out = _luconv_fine(out, p[f"LUConv_{i}"], x.dtype)
+        out = _luconv_fine(out, p[f"LUConv_{i}"], rate, rngs[1 + i])
     return out + down
 
 
-def _up_fine(x, skip, p, n_convs):
+def _up_fine(x, skip, p, n_convs, rate=0.0, rngs=None):
+    rngs = rngs or [None] * (2 + n_convs)
     wt = p["ConvTransposeND_0"]["ConvTranspose_0"]
     up = _conv_t(x, wt["kernel"]) + wt["bias"].astype(x.dtype)
     up = gn_fine(up, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"])
+    up = channel_dropout(up, rate, rngs[0], tile8=False)
     up = jax.nn.relu(up)
     cat = jnp.concatenate([up, skip], axis=-1)
     w1 = p["ConvND_0"]["Conv_0"]
     cat = _conv(cat, w1["kernel"]) + w1["bias"].astype(x.dtype)
     cat = gn_fine(cat, p["GroupNorm_1"]["scale"], p["GroupNorm_1"]["bias"])
+    cat = channel_dropout(cat, rate, rngs[1], tile8=False)
     cat = jax.nn.relu(cat)
     out = cat
     for i in range(n_convs):
-        out = _luconv_fine(out, p[f"LUConv_{i}"], x.dtype)
+        out = _luconv_fine(out, p[f"LUConv_{i}"], rate, rngs[2 + i])
     return out + cat
 
 
@@ -223,6 +331,11 @@ def _up_fine(x, skip, p, n_convs):
 # needs the d2s) or "k3dense" (stay packed, k3-coarse with 1/8-dense
 # weights).  Chosen by measurement; see benchmarks/packed_vnet_probe.py.
 LUCONV96_MODE = "k3dense"
+
+# how many finest levels run packed by default (1 = 96^3 level only;
+# 2 also packs the 48^3 C32 level).  Chosen by measurement, see
+# benchmarks/packed_vnet_probe.py / BASELINE.md round-3 ledger.
+PACKED_LEVELS_DEFAULT = 1
 
 
 def _k3_coarse_select():
@@ -264,15 +377,48 @@ def depth_to_space3d(x):
 
 
 def packed_vnet3d_probs(params, x, num_classes=2, features=16,
-                        return_packed=False):
-    """Exact VNet3d forward with the 96^3 level executed packed.
+                        return_packed=False, packed_levels=None):
+    """Inference wrapper around packed_vnet3d_apply: probs only."""
+    _, probs = packed_vnet3d_apply(
+        params, x, num_classes=num_classes, features=features,
+        return_packed=return_packed, packed_levels=packed_levels,
+    )
+    return probs
+
+
+def packed_vnet3d_apply(params, x, *, num_classes=2, features=16,
+                        dropout: float = 0.2, train: bool = False,
+                        rng=None, return_packed=False,
+                        packed_levels=None):
+    """Exact VNet3d forward with the finest level(s) executed packed.
 
     `params`: the PLAIN VNet(ndim=3) param pytree.  `x`: (N, D, H, W, 1)
-    with D,H,W divisible by 32.  Returns softmax probs (N, D, H, W, K) —
-    or, with return_packed=True, the packed probs (N, D/2, H/2, W/2, 8K)
-    (delta-major) so callers (sliding-window merge) can stay packed.
+    with D,H,W divisible by 32.  Returns (logits, probs) (N, D, H, W, K)
+    — or, with return_packed=True, packed (N, D/2, H/2, W/2, 8K)
+    (delta-major) so callers (sliding-window merge, packed losses) can
+    stay packed.  train=True + rng enables ChannelDropout at the same
+    sites as the flax model (nn/layers.py InputTransition/DownTransition/
+    UpTransition/LUConv); the 8 delta copies of a fine channel share one
+    mask, preserving fine-domain Dropout3d semantics exactly.
+
+    packed_levels: 1 packs the finest (96^3-scale C16) level; 2 also
+    packs the DownTransition_0 / UpTransition_2 (48^3-scale C32) level,
+    whose conv+GN units and lane-starved elementwise ops were the
+    remaining wall in the r3 packed fwd27 profile.
     """
+    if packed_levels is None:
+        packed_levels = PACKED_LEVELS_DEFAULT  # resolved at call time
     f = features
+    rate = dropout if train else 0.0
+    rng_ctr = [0]
+
+    def take_rng():
+        if rate == 0.0 or rng is None:
+            return None
+        r = jax.random.fold_in(rng, rng_ctr[0])
+        rng_ctr[0] += 1
+        return r
+
     pit = _p(params, "InputTransition_0")
 
     # ---- InputTransition, packed ----
@@ -285,41 +431,113 @@ def packed_vnet3d_probs(params, x, num_classes=2, features=16,
               padding="VALID")
     b = b + tile_channel_packed(wb["bias"]).astype(x.dtype)
     gs, gb = pit["GroupNorm_0"]["scale"], pit["GroupNorm_0"]["bias"]
-    a = jax.nn.relu(gn_packed(a, gs, gb))
-    b = jax.nn.relu(gn_packed(b, gs, gb))
+    a = jax.nn.relu(channel_dropout(gn_packed(a, gs, gb), rate, take_rng(), True))
+    b = jax.nn.relu(channel_dropout(gn_packed(b, gs, gb), rate, take_rng(), True))
     out16p = a + b  # (N, D/2, H/2, W/2, 128) — the packed skip
 
-    # ---- DownTransition_0 entry: k2s2 down == 1x1 on packed ----
+    # ---- DownTransition_0 entry (48^3-scale C32 level) ----
     pdt = _p(params, "DownTransition_0")
     wd = pdt["ConvND_0"]["Conv_0"]
-    down32 = _conv(out16p, pack_down_k2s2_to_1x1(wd["kernel"]),
-                   padding="VALID")
-    down32 = down32 + wd["bias"].astype(x.dtype)
-    down32 = gn_fine(down32, pdt["GroupNorm_0"]["scale"],
-                     pdt["GroupNorm_0"]["bias"])
-    down32 = jax.nn.relu(down32)
-    out32 = down32
-    for i in range(2):
-        out32 = _luconv_fine(out32, pdt[f"LUConv_{i}"], x.dtype)
-    out32 = out32 + down32
+    if packed_levels >= 2:
+        # k2s2 down, packed -> packed (stays at 256 lanes)
+        down32p = _conv(out16p, pack_down_k2s2_packed_to_packed(wd["kernel"]),
+                        strides=(2, 2, 2), padding="VALID")
+        down32p = down32p + tile_channel_packed(wd["bias"]).astype(x.dtype)
+        down32p = gn_packed(down32p, pdt["GroupNorm_0"]["scale"],
+                            pdt["GroupNorm_0"]["bias"])
+        down32p = channel_dropout(down32p, rate, take_rng(), tile8=True)
+        down32p = jax.nn.relu(down32p)
+        out32p = down32p
+        for i in range(2):
+            out32p = _luconv_packed(out32p, pdt[f"LUConv_{i}"], rate, take_rng())
+        out32p = out32p + down32p
+        # DownTransition_1 entry: k2s2 fine->fine == 1x1 on packed input
+        pdt1 = _p(params, "DownTransition_1")
+        wd1 = pdt1["ConvND_0"]["Conv_0"]
+        down64 = _conv(out32p, pack_down_k2s2_to_1x1(wd1["kernel"]),
+                       padding="VALID")
+        down64 = down64 + wd1["bias"].astype(x.dtype)
+        down64 = gn_fine(down64, pdt1["GroupNorm_0"]["scale"],
+                         pdt1["GroupNorm_0"]["bias"])
+        down64 = channel_dropout(down64, rate, take_rng(), tile8=False)
+        down64 = jax.nn.relu(down64)
+        out64 = down64
+        for i in range(3):
+            out64 = _luconv_fine(out64, pdt1[f"LUConv_{i}"], rate, take_rng())
+        out64 = out64 + down64
+    else:
+        down32 = _conv(out16p, pack_down_k2s2_to_1x1(wd["kernel"]),
+                       padding="VALID")
+        down32 = down32 + wd["bias"].astype(x.dtype)
+        down32 = gn_fine(down32, pdt["GroupNorm_0"]["scale"],
+                         pdt["GroupNorm_0"]["bias"])
+        down32 = channel_dropout(down32, rate, take_rng(), tile8=False)
+        down32 = jax.nn.relu(down32)
+        out32 = down32
+        for i in range(2):
+            out32 = _luconv_fine(out32, pdt[f"LUConv_{i}"], rate, take_rng())
+        out32 = out32 + down32
 
     # ---- plain levels (already near-ceiling) ----
-    out64 = _down_fine(out32, _p(params, "DownTransition_1"), 3)
-    out128 = _down_fine(out64, _p(params, "DownTransition_2"), 3)
-    out256 = _down_fine(out128, _p(params, "DownTransition_3"), 3)
-    up = _up_fine(out256, out128, _p(params, "UpTransition_0"), 3)
-    up = _up_fine(up, out64, _p(params, "UpTransition_1"), 3)
-    up48 = _up_fine(up, out32, _p(params, "UpTransition_2"), 2)
+    def rngs(k):
+        return [take_rng() for _ in range(k)]
 
-    # ---- UpTransition_3 (96^3 level), packed ----
+    if packed_levels < 2:
+        out64 = _down_fine(out32, _p(params, "DownTransition_1"), 3, rate,
+                           rngs(4))
+    out128 = _down_fine(out64, _p(params, "DownTransition_2"), 3, rate, rngs(4))
+    out256 = _down_fine(out128, _p(params, "DownTransition_3"), 3, rate, rngs(4))
+    up = _up_fine(out256, out128, _p(params, "UpTransition_0"), 3, rate, rngs(5))
+    up = _up_fine(up, out64, _p(params, "UpTransition_1"), 3, rate, rngs(5))
+
+    # ---- UpTransition_2 (48^3-scale C32 level) ----
+    if packed_levels >= 2:
+        put2 = _p(params, "UpTransition_2")
+        wt2 = put2["ConvTransposeND_0"]["ConvTranspose_0"]
+        up48p = _conv(up, pack_transpose_k2s2_to_1x1(wt2["kernel"]),
+                      padding="VALID")
+        up48p = up48p + tile_channel_packed(wt2["bias"]).astype(x.dtype)
+        up48p = jax.nn.relu(channel_dropout(
+            gn_packed(up48p, put2["GroupNorm_0"]["scale"],
+                      put2["GroupNorm_0"]["bias"]),
+            rate, take_rng(), True,
+        ))
+        wsq2 = put2["ConvND_0"]["Conv_0"]["kernel"][0, 0, 0]  # (4f, 2f)
+        sq2 = block_diag_1x1_packed(
+            None, (wsq2[:2 * f], wsq2[2 * f:])
+        )
+        cat2 = _conv(jnp.concatenate([up48p, out32p], axis=-1), sq2,
+                     padding="VALID")
+        cat2 = cat2 + tile_channel_packed(
+            put2["ConvND_0"]["Conv_0"]["bias"]
+        ).astype(x.dtype)
+        cat2 = jax.nn.relu(channel_dropout(
+            gn_packed(cat2, put2["GroupNorm_1"]["scale"],
+                      put2["GroupNorm_1"]["bias"]),
+            rate, take_rng(), True,
+        ))
+        lu2 = cat2
+        for i in range(2):
+            lu2 = _luconv_packed(lu2, put2[f"LUConv_{i}"], rate, take_rng())
+        up48p = lu2 + cat2
+    else:
+        up48 = _up_fine(up, out32, _p(params, "UpTransition_2"), 2, rate,
+                        rngs(4))
+
+    # ---- UpTransition_3 (96^3-scale level), packed ----
     put = _p(params, "UpTransition_3")
     wt = put["ConvTransposeND_0"]["ConvTranspose_0"]
-    upp = _conv(up48, pack_transpose_k2s2_to_1x1(wt["kernel"]),
-                padding="VALID")
+    if packed_levels >= 2:
+        # transpose k2s2, packed input -> packed output
+        upp = _conv_t(up48p, pack_transpose_k2s2_packed_to_packed(wt["kernel"]))
+    else:
+        upp = _conv(up48, pack_transpose_k2s2_to_1x1(wt["kernel"]),
+                    padding="VALID")
     upp = upp + tile_channel_packed(wt["bias"]).astype(x.dtype)
-    upp = jax.nn.relu(
-        gn_packed(upp, put["GroupNorm_0"]["scale"], put["GroupNorm_0"]["bias"])
-    )
+    upp = jax.nn.relu(channel_dropout(
+        gn_packed(upp, put["GroupNorm_0"]["scale"], put["GroupNorm_0"]["bias"]),
+        rate, take_rng(), True,
+    ))
     # concat(up, skip) then the 1x1 squeeze, fused: build the squeeze
     # weight for the [upp(delta-major f16) ; out16p(delta-major f16)]
     # packed-channel order directly — no explicit permute
@@ -339,9 +557,10 @@ def packed_vnet3d_probs(params, x, num_classes=2, features=16,
     catp = catp + tile_channel_packed(
         put["ConvND_0"]["Conv_0"]["bias"]
     ).astype(x.dtype)
-    catp = jax.nn.relu(
-        gn_packed(catp, put["GroupNorm_1"]["scale"], put["GroupNorm_1"]["bias"])
-    )
+    catp = jax.nn.relu(channel_dropout(
+        gn_packed(catp, put["GroupNorm_1"]["scale"], put["GroupNorm_1"]["bias"]),
+        rate, take_rng(), True,
+    ))
     # LUConv_0 at the 96^3 level
     plu = put["LUConv_0"]
     wl = plu["ConvND_0"]["Conv_0"]
@@ -352,9 +571,10 @@ def packed_vnet3d_probs(params, x, num_classes=2, features=16,
         lu = _conv(cat_fine, pack_k3_to_k4s2(wl["kernel"]), strides=(2, 2, 2),
                    padding=[(1, 2)] * 3)
     lu = lu + tile_channel_packed(wl["bias"]).astype(x.dtype)
-    lu = jax.nn.relu(
-        gn_packed(lu, plu["GroupNorm_0"]["scale"], plu["GroupNorm_0"]["bias"])
-    )
+    lu = jax.nn.relu(channel_dropout(
+        gn_packed(lu, plu["GroupNorm_0"]["scale"], plu["GroupNorm_0"]["bias"]),
+        rate, take_rng(), True,
+    ))
     outp = lu + catp
 
     # ---- head, packed ----
@@ -376,5 +596,5 @@ def packed_vnet3d_probs(params, x, num_classes=2, features=16,
             logitsp.reshape(n, dp, hp, wp, 8, num_classes), axis=-1
         ).reshape(n, dp, hp, wp, 8 * num_classes)
     if return_packed:
-        return probsp
-    return depth_to_space3d(probsp)
+        return logitsp, probsp
+    return depth_to_space3d(logitsp), depth_to_space3d(probsp)

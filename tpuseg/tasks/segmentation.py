@@ -63,27 +63,42 @@ def make_segmentation_trainer(
     params = model.init(jax.random.key(seed), jnp.asarray(example_image))
 
     if packed_stem:
-        # space-to-depth packed finest level (models/unet_packed.py):
-        # identical parameter pytree (checkpoints/interop unchanged),
-        # exact forward AND grads (tests/test_unet_packed.py), ~3x faster
-        # fwd+bwd on the lane-starved level-0 blocks at batch 1.
+        # space-to-depth packed finest level (models/unet_packed.py /
+        # vnet_packed.py): identical parameter pytree (checkpoints and
+        # interop unchanged), exact forward AND grads (f64 parity in
+        # tests/test_unet_packed.py), ~2.6x faster train step on the
+        # lane-starved finest-level blocks at batch 1.
         from tpuseg.models.unet import UNet
-        from tpuseg.models.unet_packed import packed_unet3d_apply
+        from tpuseg.models.vnet import VNet
 
-        if not (isinstance(model, UNet) and model.ndim == 3):
+        if isinstance(model, UNet) and model.ndim == 3:
+            from tpuseg.models.unet_packed import packed_unet3d_apply
+
+            def apply_fn(params, batch, train, rng):
+                logits, probs = packed_unet3d_apply(
+                    params, batch["image"], num_classes=num_classes,
+                    features=model.features, levels=model.levels,
+                    dropout=model.dropout, train=train,
+                    rng=rng if train else None,
+                )
+                return {"logits": logits, "probs": probs}
+
+        elif isinstance(model, VNet) and model.ndim == 3:
+            from tpuseg.models.vnet_packed import packed_vnet3d_apply
+
+            def apply_fn(params, batch, train, rng):
+                logits, probs = packed_vnet3d_apply(
+                    params, batch["image"], num_classes=num_classes,
+                    features=model.features, dropout=model.dropout,
+                    train=train, rng=rng if train else None,
+                )
+                return {"logits": logits, "probs": probs}
+
+        else:
             raise ValueError(
-                "packed_stem=True supports UNet(ndim=3) (models/unet.py); "
+                "packed_stem=True supports UNet(ndim=3) and VNet(ndim=3); "
                 f"got {type(model).__name__}"
             )
-
-        def apply_fn(params, batch, train, rng):
-            logits, probs = packed_unet3d_apply(
-                params, batch["image"], num_classes=num_classes,
-                features=model.features, levels=model.levels,
-                dropout=model.dropout, train=train,
-                rng=rng if train else None,
-            )
-            return {"logits": logits, "probs": probs}
 
     else:
         def apply_fn(params, batch, train, rng):

@@ -131,11 +131,12 @@ def main():
         logits, probs = model.apply(params, patches.astype(jnp.bfloat16))
         return probs.astype(jnp.float32)
 
-    # Round-3 compute lever (models/vnet_packed.py): the 96^3 C16 level
-    # executes in the space-to-depth domain — k4s2/1x1 convs and GN/apply
-    # fusions at 128-lane width instead of XLA's (C=16,B=27)-minor layout.
-    # Measured fwd27 216 -> 138 ms; exact vs the plain model (CPU tests);
-    # the sliding-window merge + argmax stay packed end-to-end.
+    # Round-3 compute lever (models/vnet_packed.py): the two finest
+    # levels (96^3 C16, 48^3 C32; packed_levels=2) execute in the
+    # space-to-depth domain — k4s2/1x1/packed-k2s2 convs and GN/apply
+    # fusions at >=128-lane width instead of XLA's (C,B)-minor layout.
+    # Measured fwd27 216 -> 138 (lv1) -> 126 ms (lv2); exact vs the plain
+    # model (CPU tests); sliding-window merge + argmax stay packed.
     from tpuseg.models.vnet_packed import depth_to_space3d, packed_vnet3d_probs
 
     def apply_fn_packed(patches):

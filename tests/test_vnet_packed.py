@@ -20,10 +20,13 @@ def setup():
 
 
 @pytest.mark.parametrize("mode", ["k3dense", "k4s2"])
-def test_packed_vnet_exact(setup, mode, monkeypatch):
+@pytest.mark.parametrize("levels", [1, 2])
+def test_packed_vnet_exact(setup, mode, levels, monkeypatch):
     x, params, probs_ref = setup
     monkeypatch.setattr(vnet_packed, "LUCONV96_MODE", mode)
-    probs = np.asarray(vnet_packed.packed_vnet3d_probs(params, x))
+    probs = np.asarray(
+        vnet_packed.packed_vnet3d_probs(params, x, packed_levels=levels)
+    )
     np.testing.assert_allclose(probs, probs_ref, atol=1e-4)
     assert (probs.argmax(-1) == probs_ref.argmax(-1)).all()
 
@@ -81,7 +84,8 @@ def test_sliding_window_packed_apply_matches_plain(setup):
     np.testing.assert_allclose(probs_pk, probs_ref, atol=2e-4)
 
 
-def test_vnet_packed_apply_grads_exact_f64():
+@pytest.mark.parametrize("levels", [1, 2])
+def test_vnet_packed_apply_grads_exact_f64(levels):
     """packed_vnet3d_apply grad parity vs the flax VNet in f64 (dropout
     off): the weight transforms are linear, so plain-tree grads match."""
     import jax
@@ -111,7 +115,9 @@ def test_vnet_packed_apply_grads_exact_f64():
             return jnp.sum(lg * cot) + jnp.sum(pr * pr)
 
         def loss_packed(p):
-            lg, pr = packed_vnet3d_apply(p, x64, num_classes=2)
+            lg, pr = packed_vnet3d_apply(
+                p, x64, num_classes=2, packed_levels=levels
+            )
             return jnp.sum(lg * cot) + jnp.sum(pr * pr)
 
         v1, g1 = jax.value_and_grad(loss_plain)(params64)

@@ -333,9 +333,10 @@ def _up_fine(x, skip, p, n_convs, rate=0.0, rngs=None):
 LUCONV96_MODE = "k3dense"
 
 # how many finest levels run packed by default (1 = 96^3 level only;
-# 2 also packs the 48^3 C32 level).  Chosen by measurement, see
-# benchmarks/packed_vnet_probe.py / BASELINE.md round-3 ledger.
-PACKED_LEVELS_DEFAULT = 1
+# 2 also packs the 48^3 C32 level).  Chosen by measurement
+# (benchmarks/packed_levels_probe.py): fwd27 bf16 136.6 -> 126.0 ms
+# (lv2 wins), train 96^3 b1 ties (42.2 vs 42.3 ms).
+PACKED_LEVELS_DEFAULT = 2
 
 
 def _k3_coarse_select():

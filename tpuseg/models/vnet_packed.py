@@ -112,86 +112,129 @@ def pack_transpose_k2s2_to_1x1(wt):
     return w1
 
 
-def tile_channel_packed(v):
-    """Per-f vector (F,) -> packed (8F,) by delta-major tiling."""
-    return jnp.tile(v, 8)
+def tile_channel_packed(v, p=8):
+    """Per-f vector (F,) -> packed (p*F,) by delta-major tiling."""
+    return jnp.tile(v, p)
 
 
-def pack_down_k2s2_packed_to_packed(w):
-    """k2s2 VALID down conv (2,2,2,C,F), packed input AND packed output:
-    out_packed[m,(delta,f)] = sum_s W[s] . fine_in[4m+2delta+s], where
-    fine_in[j] = packed_in[j//2, (j%2,c)] -> a k2s2 conv on the packed
-    grid with W2[tau][(s',c),(delta,f)] = W[s][c,f] at tau=(2delta+s')//2,
-    s=(2delta+s')%2... derived per axis: for each (delta, s') exactly one
-    coarse tap tau=(2*delta+s')//2 contributes fine tap s=(2*delta+s')%2.
-    1/8-dense."""
+# Level-B (48^3-scale C32 level) packing: (H, W) only — P=4, fine D.
+# Measured (benchmarks/partial_pack_probe2.py, in-net-faithful blocks):
+# part4 k3 blocks run 11.85 ms vs full8 19.33 / fine 22.78 — the 2x
+# redundancy cut beats the lane-halving (C128 on lanes is still full).
+# Level A (96^3 C16) stays fully packed: full8 16.6 TF/s true-equiv vs
+# part4 13.2 there (C64 lanes can't feed the MXU at C16's arithmetic
+# intensity).
+B_DELTAS = 4  # (dh, dw) delta-major, f-minor
+
+
+def pack_down_k2s2_full8_to_part4(w):
+    """k2s2 VALID down conv (2,2,2,C,F), full8-packed input (A level) ->
+    (H,W)-part4 output (B level): kernel (1,2,2) strides (1,2,2).
+
+    Per axis: out fine-48 index h = 2m+dh (packed) or h = d (fine-D);
+    input fine-96 = 2h+s lives at A-coarse (2h+s)//2 with
+    delta_in = (2h+s)%2.  For D: coarse tap 0, delta_d_in = s.  For H/W:
+    coarse tap t = delta_out, delta_in = s (since (2*(2m+dh)+s)//2 =
+    2m+dh with s in {0,1})."""
     _, _, _, c, f = w.shape
-    w2 = jnp.zeros((2, 2, 2, 8 * c, 8 * f), w.dtype)
-    for dd in range(2):
-        for dh in range(2):
-            for dw_ in range(2):
-                dflat = (dd * 2 + dh) * 2 + dw_
-                for sd in range(2):
-                    for sh in range(2):
-                        for sw in range(2):
-                            sflat = (sd * 2 + sh) * 2 + sw
-                            td, s_d = (2 * dd + sd) // 2, (2 * dd + sd) % 2
-                            th, s_h = (2 * dh + sh) // 2, (2 * dh + sh) % 2
-                            tw, s_w = (2 * dw_ + sw) // 2, (2 * dw_ + sw) % 2
-                            w2 = w2.at[
-                                td, th, tw,
-                                sflat * c:(sflat + 1) * c,
-                                dflat * f:(dflat + 1) * f,
-                            ].set(w[s_d, s_h, s_w])
+    w2 = jnp.zeros((1, 2, 2, 8 * c, 4 * f), w.dtype)
+    for dh in range(2):
+        for dw_ in range(2):
+            dflat = dh * 2 + dw_
+            for sd in range(2):
+                for sh in range(2):
+                    for sw in range(2):
+                        sflat = (sd * 2 + sh) * 2 + sw
+                        w2 = w2.at[
+                            0, dh, dw_,
+                            sflat * c:(sflat + 1) * c,
+                            dflat * f:(dflat + 1) * f,
+                        ].set(w[sd, sh, sw])
     return w2
 
 
-def pack_transpose_k2s2_packed_to_packed(wt):
-    """flax ConvTranspose k2s2 VALID kernel (2,2,2,Cin,F), packed input
-    AND packed output: out_packed[2n+eps,(delta,f)] =
-    K[1-delta] . fine_in[2n+eps] = K[1-delta] . packed_in[n,(eps,c)].
-    With flax's flip semantics (out[2n+eps] = in[n] @ W2[1-eps]):
-    W2[tau][(eps',c),(delta,f)] = K[1-delta][c,f] iff eps' == 1-tau."""
+def pack_down_k2s2_part4_to_fine(w):
+    """k2s2 VALID down conv (2,2,2,C,F), (H,W)-part4 input -> fine
+    output (level-C entry): kernel (2,1,1) strides (2,1,1); the H/W taps
+    come from the input delta channels."""
+    _, _, _, c, f = w.shape
+    w2 = jnp.zeros((2, 1, 1, 4 * c, f), w.dtype)
+    for sd in range(2):
+        for sh in range(2):
+            for sw in range(2):
+                sflat = sh * 2 + sw
+                w2 = w2.at[
+                    sd, 0, 0, sflat * c:(sflat + 1) * c, :
+                ].set(w[sd, sh, sw])
+    return w2
+
+
+def pack_transpose_k2s2_fine_to_part4(wt):
+    """flax ConvTranspose k2s2 VALID kernel (2,2,2,Cin,F), fine input ->
+    (H,W)-part4 output: conv_transpose kernel (2,1,1) strides (2,1,1).
+    Along D flax's own flip applies; along H/W the packed output delta
+    takes K[1-delta] (pack_transpose_k2s2_to_1x1's flip)."""
     _, _, _, c, f = wt.shape
-    w2 = jnp.zeros((2, 2, 2, 8 * c, 8 * f), wt.dtype)
-    for dd in range(2):
+    w2 = jnp.zeros((2, 1, 1, c, 4 * f), wt.dtype)
+    for td in range(2):
         for dh in range(2):
             for dw_ in range(2):
-                dflat = (dd * 2 + dh) * 2 + dw_
-                for td in range(2):
-                    for th in range(2):
-                        for tw in range(2):
-                            ed, eh, ew = 1 - td, 1 - th, 1 - tw
-                            eflat = (ed * 2 + eh) * 2 + ew
-                            w2 = w2.at[
-                                td, th, tw,
-                                eflat * c:(eflat + 1) * c,
-                                dflat * f:(dflat + 1) * f,
-                            ].set(wt[1 - dd, 1 - dh, 1 - dw_])
+                dflat = dh * 2 + dw_
+                w2 = w2.at[
+                    td, 0, 0, :, dflat * f:(dflat + 1) * f
+                ].set(wt[td, 1 - dh, 1 - dw_])
     return w2
 
 
-def block_diag_1x1_packed(w1, extra_in_blocks=()):
-    """Fine 1x1 conv (Cin, F) -> packed block-diagonal (8*Cin, 8F) 1x1.
+def pack_transpose_k2s2_part4_to_full8(wt):
+    """flax ConvTranspose k2s2 VALID kernel (2,2,2,Cin,F), (H,W)-part4
+    input (B level) -> full8-packed output (A level): conv_transpose
+    kernel (1,2,2) strides (1,2,2).
+
+    Along D (fine in, packed out): out fine-96 = 2q+e at A-coarse q,
+    delta_d = e, weight K[1-e] — a 1x1 gather.  Along H/W (packed in,
+    packed out): contribution K[1-delta'] lands at coarse tap tau =
+    delta_in; with flax's flip (out[2m+tau] uses W2[1-tau]) that means
+    W2[a] is fed from input delta block (1-a)."""
+    _, _, _, c, f = wt.shape
+    w2 = jnp.zeros((1, 2, 2, 4 * c, 8 * f), wt.dtype)
+    for ah in range(2):
+        for aw in range(2):
+            eh, ew = 1 - ah, 1 - aw  # input delta block feeding W2[ah,aw]
+            eflat = eh * 2 + ew
+            for dd in range(2):
+                for dh in range(2):
+                    for dw_ in range(2):
+                        dflat = (dd * 2 + dh) * 2 + dw_
+                        w2 = w2.at[
+                            0, ah, aw,
+                            eflat * c:(eflat + 1) * c,
+                            dflat * f:(dflat + 1) * f,
+                        ].set(wt[1 - dd, 1 - dh, 1 - dw_])
+    return w2
+
+
+def block_diag_1x1_packed(w1, extra_in_blocks=(), p=8):
+    """Fine 1x1 conv (Cin, F) -> packed block-diagonal (p*Cin, p*F) 1x1.
 
     With extra_in_blocks=(w_a, w_b, ...) builds the packed weight for a
     conv consuming the packed concat [x_a ; x_b ; ...] (each delta-major)
     split of the fine input channels: w1 must be pre-split by the caller
-    and passed as the tuple; returns (1,1,1, 8*sum(Cin_i), 8F)."""
+    and passed as the tuple; returns (1,1,1, p*sum(Cin_i), p*F)."""
     blocks = extra_in_blocks or (w1,)
     f = blocks[0].shape[-1]
     total_in = sum(b.shape[0] for b in blocks)
-    wp = jnp.zeros((1, 1, 1, 8 * total_in, 8 * f), blocks[0].dtype)
+    wp = jnp.zeros((1, 1, 1, p * total_in, p * f), blocks[0].dtype)
     off = 0
     for b in blocks:
         c = b.shape[0]
-        for dflat in range(8):
+        for dflat in range(p):
             wp = wp.at[
                 0, 0, 0,
                 off + dflat * c:off + (dflat + 1) * c,
                 dflat * f:(dflat + 1) * f,
             ].set(b)
-        off += 8 * c
+        off += p * c
     return wp
 
 
@@ -200,24 +243,24 @@ def block_diag_1x1_packed(w1, extra_in_blocks=()):
 # ---------------------------------------------------------------------------
 
 
-def gn_packed(x, scale, bias, compute_dtype=None):
-    """GroupNorm(8) on packed (N, D', H', W', 8F) == flax GroupNorm(8) on
-    the fine tensor: per (sample, group) stats over spatial x delta x
+def gn_packed(x, scale, bias, compute_dtype=None, p=8):
+    """GroupNorm(8) on packed (N, D', H', W', p*F) == flax GroupNorm(8)
+    on the fine tensor: per (sample, group) stats over spatial x delta x
     group-channels; fast-variance formula, stats promoted to at least
     f32 (flax semantics; stays f64 under x64 for exactness tests)."""
     n = x.shape[0]
-    f = x.shape[-1] // 8
+    f = x.shape[-1] // p
     stat_dt = jnp.promote_types(x.dtype, jnp.float32)
-    g = x.reshape(n, -1, 8, GROUPS, f // GROUPS).astype(stat_dt)
+    g = x.reshape(n, -1, p, GROUPS, f // GROUPS).astype(stat_dt)
     mean = jnp.mean(g, axis=(1, 2, 4), keepdims=True)
     mean2 = jnp.mean(g * g, axis=(1, 2, 4), keepdims=True)
     var = jnp.maximum(mean2 - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + GN_EPS)
     y = (g - mean) * inv
     y = y.reshape(x.shape).astype(x.dtype)
-    return y * tile_channel_packed(scale).astype(x.dtype) + tile_channel_packed(
-        bias
-    ).astype(x.dtype)
+    return y * tile_channel_packed(scale, p).astype(
+        x.dtype
+    ) + tile_channel_packed(bias, p).astype(x.dtype)
 
 
 def gn_fine(x, scale, bias):
@@ -234,17 +277,19 @@ def gn_fine(x, scale, bias):
     return y * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
-def channel_dropout(x, rate, rng, tile8: bool):
+def channel_dropout(x, rate, rng, tile: int):
     """torch Dropout3d semantics (drop whole channels, broadcast over
-    space); in the packed layout the 8 delta copies of a fine channel
-    share one mask so the fine-domain semantics are preserved exactly."""
+    space); in the packed layout the `tile` delta copies of a fine
+    channel share one mask so the fine-domain semantics are preserved
+    exactly (and the fine axes of a partially-packed level are spatial,
+    which Dropout3d broadcasts over anyway)."""
     if rate == 0.0 or rng is None:
         return x
-    c = x.shape[-1] // (8 if tile8 else 1)
+    c = x.shape[-1] // tile
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, 1, c))
-    if tile8:
-        mask = jnp.tile(mask, (1, 1, 1, 1, 8))
+    if tile > 1:
+        mask = jnp.tile(mask, (1, 1, 1, 1, tile))
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
@@ -264,6 +309,44 @@ def _conv_t(x, w, strides=(2, 2, 2)):
     )
 
 
+def _axis_select_packed():
+    """A[u, din, dout, t] = 1 iff fine tap t = 2(u-1)+din-dout+1 in [0,3)."""
+    a = np.zeros((3, 2, 2, 3), np.float32)
+    for u in range(3):
+        for din in range(2):
+            for dout in range(2):
+                t = 2 * (u - 1) + din - dout + 1
+                if 0 <= t < 3:
+                    a[u, din, dout, t] = 1.0
+    return a
+
+
+def _axis_select_fine():
+    """Identity: coarse tap u == fine tap t, no sub-position split."""
+    a = np.zeros((3, 1, 1, 3), np.float32)
+    for u in range(3):
+        a[u, 0, 0, u] = 1.0
+    return a
+
+
+_AXIS_PACKED = _axis_select_packed()
+_AXIS_FINE = _axis_select_fine()
+
+
+def pack_k3_axes(w, axes):
+    """(3,3,3,C,F) fine k3 SAME conv -> k3 conv on the per-axis-packed
+    grid.  axes: bool triple (pack_d, pack_h, pack_w); P = 2**npacked.
+    Output kernel (3,3,3, P*C, P*F), delta-major (axis deltas composed
+    d-major over the PACKED axes), f-minor — matching space_to_depth
+    restricted to those axes.  1/P-dense.  Pure-jnp (traced params ok)."""
+    sel = [_AXIS_PACKED if p else _AXIS_FINE for p in axes]
+    a0, a1, a2 = (jnp.asarray(s, w.dtype) for s in sel)
+    c, f = w.shape[-2:]
+    w3 = jnp.einsum("aAdt,bBeu,cCgv,tuvxy->abcABCxdegy", a0, a1, a2, w)
+    p = int(np.prod([s.shape[1] for s in sel]))
+    return w3.reshape(3, 3, 3, p * c, p * f)
+
+
 # ---------------------------------------------------------------------------
 # the forward
 # ---------------------------------------------------------------------------
@@ -280,17 +363,20 @@ def _luconv_fine(x, p, rate=0.0, rng=None):
     w = p["ConvND_0"]["Conv_0"]
     y = _conv(x, w["kernel"]) + w["bias"].astype(x.dtype)
     y = gn_fine(y, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"])
-    y = channel_dropout(y, rate, rng, tile8=False)
+    y = channel_dropout(y, rate, rng, tile=1)
     return jax.nn.relu(y)
 
 
-def _luconv_packed(x, p, rate=0.0, rng=None):
-    """LUConv on packed activations: k3-coarse 1/8-dense conv."""
+def _luconv_packed(x, p, rate=0.0, rng=None, axes=(True, True, True)):
+    """LUConv on packed activations: 1/P-dense k3-coarse conv on the
+    per-axis-packed grid."""
+    pk = 2 ** sum(axes)
     w = p["ConvND_0"]["Conv_0"]
-    y = _conv(x, pack_k3_to_k3_coarse(w["kernel"]), padding="SAME")
-    y = y + tile_channel_packed(w["bias"]).astype(x.dtype)
-    y = gn_packed(y, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"])
-    y = channel_dropout(y, rate, rng, tile8=True)
+    y = _conv(x, pack_k3_axes(w["kernel"], axes), padding="SAME")
+    y = y + tile_channel_packed(w["bias"], pk).astype(x.dtype)
+    y = gn_packed(y, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"],
+                  p=pk)
+    y = channel_dropout(y, rate, rng, tile=pk)
     return jax.nn.relu(y)
 
 
@@ -300,7 +386,7 @@ def _down_fine(x, p, n_convs, rate=0.0, rngs=None):
     down = _conv(x, w["kernel"], strides=(2, 2, 2), padding="VALID")
     down = down + w["bias"].astype(x.dtype)
     down = gn_fine(down, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"])
-    down = channel_dropout(down, rate, rngs[0], tile8=False)
+    down = channel_dropout(down, rate, rngs[0], tile=1)
     down = jax.nn.relu(down)
     out = down
     for i in range(n_convs):
@@ -313,13 +399,13 @@ def _up_fine(x, skip, p, n_convs, rate=0.0, rngs=None):
     wt = p["ConvTransposeND_0"]["ConvTranspose_0"]
     up = _conv_t(x, wt["kernel"]) + wt["bias"].astype(x.dtype)
     up = gn_fine(up, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"])
-    up = channel_dropout(up, rate, rngs[0], tile8=False)
+    up = channel_dropout(up, rate, rngs[0], tile=1)
     up = jax.nn.relu(up)
     cat = jnp.concatenate([up, skip], axis=-1)
     w1 = p["ConvND_0"]["Conv_0"]
     cat = _conv(cat, w1["kernel"]) + w1["bias"].astype(x.dtype)
     cat = gn_fine(cat, p["GroupNorm_1"]["scale"], p["GroupNorm_1"]["bias"])
-    cat = channel_dropout(cat, rate, rngs[1], tile8=False)
+    cat = channel_dropout(cat, rate, rngs[1], tile=1)
     cat = jax.nn.relu(cat)
     out = cat
     for i in range(n_convs):
@@ -339,33 +425,11 @@ LUCONV96_MODE = "k3dense"
 PACKED_LEVELS_DEFAULT = 2
 
 
-def _k3_coarse_select():
-    """Per-axis selection tensor A[u, delta_in, delta_out, t] = 1 iff the
-    coarse tap u and sub-positions map to fine tap t = 2(u-1)+din-dout+1."""
-    a = np.zeros((3, 2, 2, 3), np.float32)
-    for u in range(3):
-        for din in range(2):
-            for dout in range(2):
-                t = 2 * (u - 1) + din - dout + 1
-                if 0 <= t < 3:
-                    a[u, din, dout, t] = 1.0
-    return a
-
-
-_K3_COARSE_A = _k3_coarse_select()
-
-
 def pack_k3_to_k3_coarse(w):
-    """(3,3,3,C,F) -> (3,3,3,8C,8F) packed->packed k3 conv (1/8 dense):
-    W3[u,(delta',c),(delta,f)] = W[t,c,f] where t = 2(u-1) + delta' - delta
-    lands in [0,3).  Pure-jnp (works on traced params)."""
-    _, _, _, c, f = w.shape
-    a = jnp.asarray(_K3_COARSE_A, w.dtype)
-    # axes: (u1 A d)(u2 B e)(u3 C g) x w[t u v, cin, cout]
-    w3 = jnp.einsum(
-        "aAdt,bBeu,cCgv,tuvxy->abcABCxdegy", a, a, a, w
-    )
-    return w3.reshape(3, 3, 3, 8 * c, 8 * f)
+    """(3,3,3,C,F) -> (3,3,3,8C,8F) fully-packed->packed k3 conv (1/8
+    dense): W3[u,(delta',c),(delta,f)] = W[t,c,f] where t = 2(u-1) +
+    delta' - delta lands in [0,3)."""
+    return pack_k3_axes(w, (True, True, True))
 
 
 def depth_to_space3d(x):
@@ -432,35 +496,37 @@ def packed_vnet3d_apply(params, x, *, num_classes=2, features=16,
               padding="VALID")
     b = b + tile_channel_packed(wb["bias"]).astype(x.dtype)
     gs, gb = pit["GroupNorm_0"]["scale"], pit["GroupNorm_0"]["bias"]
-    a = jax.nn.relu(channel_dropout(gn_packed(a, gs, gb), rate, take_rng(), True))
-    b = jax.nn.relu(channel_dropout(gn_packed(b, gs, gb), rate, take_rng(), True))
+    a = jax.nn.relu(channel_dropout(gn_packed(a, gs, gb), rate, take_rng(), 8))
+    b = jax.nn.relu(channel_dropout(gn_packed(b, gs, gb), rate, take_rng(), 8))
     out16p = a + b  # (N, D/2, H/2, W/2, 128) — the packed skip
 
     # ---- DownTransition_0 entry (48^3-scale C32 level) ----
     pdt = _p(params, "DownTransition_0")
     wd = pdt["ConvND_0"]["Conv_0"]
     if packed_levels >= 2:
-        # k2s2 down, packed -> packed (stays at 256 lanes)
-        down32p = _conv(out16p, pack_down_k2s2_packed_to_packed(wd["kernel"]),
-                        strides=(2, 2, 2), padding="VALID")
-        down32p = down32p + tile_channel_packed(wd["bias"]).astype(x.dtype)
+        # k2s2 down, full8 (A) -> (H,W)-part4 (B): 2x less conv
+        # redundancy at the level's k3s (partial_pack_probe2.py)
+        down32p = _conv(out16p, pack_down_k2s2_full8_to_part4(wd["kernel"]),
+                        strides=(1, 2, 2), padding="VALID")
+        down32p = down32p + tile_channel_packed(wd["bias"], 4).astype(x.dtype)
         down32p = gn_packed(down32p, pdt["GroupNorm_0"]["scale"],
-                            pdt["GroupNorm_0"]["bias"])
-        down32p = channel_dropout(down32p, rate, take_rng(), tile8=True)
+                            pdt["GroupNorm_0"]["bias"], p=4)
+        down32p = channel_dropout(down32p, rate, take_rng(), tile=4)
         down32p = jax.nn.relu(down32p)
         out32p = down32p
         for i in range(2):
-            out32p = _luconv_packed(out32p, pdt[f"LUConv_{i}"], rate, take_rng())
+            out32p = _luconv_packed(out32p, pdt[f"LUConv_{i}"], rate,
+                                    take_rng(), axes=(False, True, True))
         out32p = out32p + down32p
-        # DownTransition_1 entry: k2s2 fine->fine == 1x1 on packed input
+        # DownTransition_1 entry: k2s2 fine->fine consuming part4 input
         pdt1 = _p(params, "DownTransition_1")
         wd1 = pdt1["ConvND_0"]["Conv_0"]
-        down64 = _conv(out32p, pack_down_k2s2_to_1x1(wd1["kernel"]),
-                       padding="VALID")
+        down64 = _conv(out32p, pack_down_k2s2_part4_to_fine(wd1["kernel"]),
+                       strides=(2, 1, 1), padding="VALID")
         down64 = down64 + wd1["bias"].astype(x.dtype)
         down64 = gn_fine(down64, pdt1["GroupNorm_0"]["scale"],
                          pdt1["GroupNorm_0"]["bias"])
-        down64 = channel_dropout(down64, rate, take_rng(), tile8=False)
+        down64 = channel_dropout(down64, rate, take_rng(), tile=1)
         down64 = jax.nn.relu(down64)
         out64 = down64
         for i in range(3):
@@ -472,7 +538,7 @@ def packed_vnet3d_apply(params, x, *, num_classes=2, features=16,
         down32 = down32 + wd["bias"].astype(x.dtype)
         down32 = gn_fine(down32, pdt["GroupNorm_0"]["scale"],
                          pdt["GroupNorm_0"]["bias"])
-        down32 = channel_dropout(down32, rate, take_rng(), tile8=False)
+        down32 = channel_dropout(down32, rate, take_rng(), tile=1)
         down32 = jax.nn.relu(down32)
         out32 = down32
         for i in range(2):
@@ -495,31 +561,32 @@ def packed_vnet3d_apply(params, x, *, num_classes=2, features=16,
     if packed_levels >= 2:
         put2 = _p(params, "UpTransition_2")
         wt2 = put2["ConvTransposeND_0"]["ConvTranspose_0"]
-        up48p = _conv(up, pack_transpose_k2s2_to_1x1(wt2["kernel"]),
-                      padding="VALID")
-        up48p = up48p + tile_channel_packed(wt2["bias"]).astype(x.dtype)
+        up48p = _conv_t(up, pack_transpose_k2s2_fine_to_part4(wt2["kernel"]),
+                        strides=(2, 1, 1))
+        up48p = up48p + tile_channel_packed(wt2["bias"], 4).astype(x.dtype)
         up48p = jax.nn.relu(channel_dropout(
             gn_packed(up48p, put2["GroupNorm_0"]["scale"],
-                      put2["GroupNorm_0"]["bias"]),
-            rate, take_rng(), True,
+                      put2["GroupNorm_0"]["bias"], p=4),
+            rate, take_rng(), 4,
         ))
         wsq2 = put2["ConvND_0"]["Conv_0"]["kernel"][0, 0, 0]  # (4f, 2f)
         sq2 = block_diag_1x1_packed(
-            None, (wsq2[:2 * f], wsq2[2 * f:])
+            None, (wsq2[:2 * f], wsq2[2 * f:]), p=4
         )
         cat2 = _conv(jnp.concatenate([up48p, out32p], axis=-1), sq2,
                      padding="VALID")
         cat2 = cat2 + tile_channel_packed(
-            put2["ConvND_0"]["Conv_0"]["bias"]
+            put2["ConvND_0"]["Conv_0"]["bias"], 4
         ).astype(x.dtype)
         cat2 = jax.nn.relu(channel_dropout(
             gn_packed(cat2, put2["GroupNorm_1"]["scale"],
-                      put2["GroupNorm_1"]["bias"]),
-            rate, take_rng(), True,
+                      put2["GroupNorm_1"]["bias"], p=4),
+            rate, take_rng(), 4,
         ))
         lu2 = cat2
         for i in range(2):
-            lu2 = _luconv_packed(lu2, put2[f"LUConv_{i}"], rate, take_rng())
+            lu2 = _luconv_packed(lu2, put2[f"LUConv_{i}"], rate, take_rng(),
+                                 axes=(False, True, True))
         up48p = lu2 + cat2
     else:
         up48 = _up_fine(up, out32, _p(params, "UpTransition_2"), 2, rate,
@@ -529,15 +596,16 @@ def packed_vnet3d_apply(params, x, *, num_classes=2, features=16,
     put = _p(params, "UpTransition_3")
     wt = put["ConvTransposeND_0"]["ConvTranspose_0"]
     if packed_levels >= 2:
-        # transpose k2s2, packed input -> packed output
-        upp = _conv_t(up48p, pack_transpose_k2s2_packed_to_packed(wt["kernel"]))
+        # transpose k2s2, (H,W)-part4 input -> full8-packed output
+        upp = _conv_t(up48p, pack_transpose_k2s2_part4_to_full8(wt["kernel"]),
+                      strides=(1, 2, 2))
     else:
         upp = _conv(up48, pack_transpose_k2s2_to_1x1(wt["kernel"]),
                     padding="VALID")
     upp = upp + tile_channel_packed(wt["bias"]).astype(x.dtype)
     upp = jax.nn.relu(channel_dropout(
         gn_packed(upp, put["GroupNorm_0"]["scale"], put["GroupNorm_0"]["bias"]),
-        rate, take_rng(), True,
+        rate, take_rng(), 8,
     ))
     # concat(up, skip) then the 1x1 squeeze, fused: build the squeeze
     # weight for the [upp(delta-major f16) ; out16p(delta-major f16)]
@@ -560,7 +628,7 @@ def packed_vnet3d_apply(params, x, *, num_classes=2, features=16,
     ).astype(x.dtype)
     catp = jax.nn.relu(channel_dropout(
         gn_packed(catp, put["GroupNorm_1"]["scale"], put["GroupNorm_1"]["bias"]),
-        rate, take_rng(), True,
+        rate, take_rng(), 8,
     ))
     # LUConv_0 at the 96^3 level
     plu = put["LUConv_0"]
@@ -574,7 +642,7 @@ def packed_vnet3d_apply(params, x, *, num_classes=2, features=16,
     lu = lu + tile_channel_packed(wl["bias"]).astype(x.dtype)
     lu = jax.nn.relu(channel_dropout(
         gn_packed(lu, plu["GroupNorm_0"]["scale"], plu["GroupNorm_0"]["bias"]),
-        rate, take_rng(), True,
+        rate, take_rng(), 8,
     ))
     outp = lu + catp
 

@@ -5,12 +5,23 @@ The tpuseg equivalent of the reference's first recipe
 segmentation) on generated data: random soft blobs, binary masks,
 dice+BCE loss, dice metric, checkpointing, reload, predict.
 
-Run on CPU:  JAX_PLATFORMS=cpu python examples/train_synthetic.py
+Run on CPU:  python examples/train_synthetic.py --cpu
 Run on TPU:  python examples/train_synthetic.py
+(`JAX_PLATFORMS=cpu` also works where no site plugin pins the platform
+list at interpreter start.)
 """
 import os
 import sys
 import tempfile
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpuseg")
+if "--cpu" in sys.argv or os.environ.get("JAX_PLATFORMS") == "cpu":
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 

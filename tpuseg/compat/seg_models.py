@@ -95,6 +95,7 @@ class _SegModelBase:
         self._spatial = spatial
         self.trainer = None
         self._jit_forward = None
+        self._apply_cache = {}
 
         if inference:
             print(f"Loading model {model_path}")
@@ -126,6 +127,7 @@ class _SegModelBase:
         cur["params"] = jax.tree_util.tree_map(jnp.asarray, params)
         self.trainer.state["params"] = cur
         self._jit_forward = None  # drop any forward jitted on old params
+        self._apply_cache.clear()
 
     # ------------------------------------------------------------ plumbing
     def _ensure_trainer(self, epochs: int = 1, lr: float = 1e-3):
@@ -196,6 +198,73 @@ class _SegModelBase:
         return history
 
     # ----------------------------------------------------------- inference
+    # Space-to-depth packed 3D execution (models/{unet,vnet}_packed.py):
+    # exact compile-time weight transforms of the same parameter tree that
+    # put >=128 channels on the vector lanes at the finest levels —
+    # measured 1.5-2.6x on chip (BASELINE.md round 3).  Set False on an
+    # instance/class to force the plain flax apply.
+    packed_inference = True
+
+    def _supports_packed(self, spatial) -> bool:
+        if self.ndim != 3 or not self.packed_inference:
+            return False
+        if self.network == "vnet":
+            return all(s > 0 and s % 32 == 0 for s in spatial)
+        if self.network == "unet":
+            div = 2 ** self.model.levels
+            return all(s > 0 and s % div == 0 for s in spatial)
+        return False
+
+    def _probs_apply(self, spatial, return_packed: bool = False):
+        """(N, *spatial, C) -> probs apply fn for the 3D volume paths.
+
+        Returns ``(fn, jitted_fn, packed)``: the packed forward when the
+        spatial shape divides the packing factor, the plain flax apply
+        otherwise.  Cached per parameter tree so the sliding-window jit
+        (``apply_fn`` is a static argument) reuses its compiled program
+        across calls instead of retracing per call."""
+        self._ensure_trainer()
+        params = self.trainer.state["params"]
+        packed = self._supports_packed(spatial)
+        key = (packed, bool(return_packed and packed), id(params))
+        hit = self._apply_cache.get(key)
+        if hit is not None:
+            return hit[0], hit[1], packed
+        if packed and self.network == "vnet":
+            from tpuseg.models.vnet_packed import packed_vnet3d_probs
+
+            nc, f, rp = self.numclass, self.model.features, return_packed
+
+            def fn(x):
+                return packed_vnet3d_probs(
+                    params, x, num_classes=nc, features=f, return_packed=rp
+                )
+        elif packed:
+            from tpuseg.models.unet_packed import packed_unet3d_apply
+
+            nc, f, rp = self.numclass, self.model.features, return_packed
+            lv = self.model.levels
+
+            def fn(x):
+                _, probs = packed_unet3d_apply(
+                    params, x, num_classes=nc, features=f, levels=lv,
+                    return_packed=rp,
+                )
+                return probs
+        else:
+            model = self.model
+
+            def fn(x):
+                _, probs = model.apply(params, x)
+                return probs
+
+        # the closure bakes `params` into the compiled program — keep the
+        # tree referenced so the id() key can't be recycled after GC; any
+        # params update produces a new tree and therefore a new cache row
+        entry = (fn, jax.jit(fn), params)
+        self._apply_cache[key] = entry
+        return entry[0], entry[1], packed
+
     def _forward_probs(self, batch_chlast: np.ndarray) -> np.ndarray:
         self._ensure_trainer()
         if self._jit_forward is None:
@@ -249,7 +318,8 @@ class _Seg3dMixin:
         self._ensure_trainer()
 
         def forward(batch):
-            return self._forward_probs(batch)
+            _, jfn, _ = self._probs_apply(tuple(batch.shape[1:4]))
+            return np.asarray(jfn(jnp.asarray(batch)))
 
         return infer_volume(
             imagesitk,
@@ -276,10 +346,7 @@ class _Seg3dMixin:
         on link-bound deployments."""
         self._ensure_trainer()
         patch = patch or (self.image_depth, self.image_height, self.image_width)
-
-        def apply_fn(patches):
-            _, probs = self.model.apply(self.trainer.state["params"], patches)
-            return probs
+        apply_fn, _, packed = self._probs_apply(tuple(patch), return_packed=True)
 
         return infer_volume_patched(
             imagesitk,
@@ -290,6 +357,7 @@ class _Seg3dMixin:
             hu_window=(-800, -1024, "meanstd"),
             batch_size=batch_size,
             transfer_dtype=transfer_dtype,
+            packed_apply=packed,
         )
 
 

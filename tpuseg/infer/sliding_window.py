@@ -270,7 +270,12 @@ def sliding_window_inference(
         dequant = jnp.asarray([scale, lo], np.float32)
     elif vol.dtype != np.float32:
         vol = vol.astype(np.float32)
-    pad = [(0, max(p - s, 0)) for s, p in zip(vol.shape[:3], patch)] + [(0, 0)]
+    ext = [max(p - s, 0) for s, p in zip(vol.shape[:3], patch)]
+    if packed_apply:
+        # the packed merge works on the half-resolution grid: round padded
+        # dims up to even (the extra row is cropped off the returned array)
+        ext = [e + (s + e) % 2 for e, s in zip(ext, vol.shape[:3])]
+    pad = [(0, e) for e in ext] + [(0, 0)]
     if any(p[1] for p in pad):
         # keep pad voxels at value 0 post-dequant for the uint8 path
         fill = 0

@@ -140,10 +140,16 @@ def infer_volume_patched(
     threshold: float = 0.5,
     transfer_dtype: Optional[str] = None,
     pack_mask: bool = False,
+    packed_apply: bool = False,
 ) -> Volume:
     """`modelUnet.py:707` inference_patch(): spacing resample → HU window
     normalize → batched sliding-window (intended 50% overlap, weighted
     merge) → mask → resample back to original spacing/shape.
+
+    ``packed_apply=True`` declares that ``apply_fn`` returns
+    space-to-depth PACKED probabilities (models/vnet_packed.py layout);
+    the merge and argmax then stay in the 128-lane-friendly packed
+    domain (the round-3 compute lever, see sliding_window.py).
 
     ``transfer_dtype="uint8"`` with an HU window whose span fits 255
     levels uploads the truncated volume as 1-byte HU codes and folds the
@@ -174,7 +180,7 @@ def infer_volume_patched(
     mask = sliding_window_inference(
         arr, patch_dhw, apply_fn, num_classes, batch_size, overlap,
         return_mask=True, transfer_dtype=transfer_dtype,
-        pack_mask=pack_mask, dequant=dequant,
+        pack_mask=pack_mask, dequant=dequant, packed_apply=packed_apply,
     )
     mask_vol = Volume(mask.astype(np.uint8))
     mask_vol.copy_geometry_from(work)

@@ -71,7 +71,7 @@ def _convblock_fine(x, p, rate, rngs):
         x = _conv(x, w)
         g = p[f"GroupNorm_{i}"]
         x = gn_fine(x, g["scale"], g["bias"])
-        x = _channel_dropout(x, rate, rngs[i], tile8=False)
+        x = _channel_dropout(x, rate, rngs[i], tile=1)
         x = jax.nn.relu(x)
     return x
 
@@ -88,14 +88,14 @@ def _convblock_packed(x, p, rate, rngs, first_fine_input: bool):
         x = _conv(x, pack_k3_to_k3_coarse(w0), padding="SAME")
     g = p["GroupNorm_0"]
     x = gn_packed(x, g["scale"], g["bias"])
-    x = _channel_dropout(x, rate, rngs[0], tile8=True)
+    x = _channel_dropout(x, rate, rngs[0], tile=8)
     x = jax.nn.relu(x)
 
     w1 = p["ConvND_1"]["Conv_0"]["kernel"]
     x = _conv(x, pack_k3_to_k3_coarse(w1), padding="SAME")
     g = p["GroupNorm_1"]
     x = gn_packed(x, g["scale"], g["bias"])
-    x = _channel_dropout(x, rate, rngs[1], tile8=True)
+    x = _channel_dropout(x, rate, rngs[1], tile=8)
     return jax.nn.relu(x)
 
 
@@ -109,14 +109,14 @@ def _convblock_packed_concat(up_p, skip_p, p, rate, rngs, f: int):
     x = _conv(jnp.concatenate([up_p, skip_p], axis=-1), w3, padding="SAME")
     g = p["GroupNorm_0"]
     x = gn_packed(x, g["scale"], g["bias"])
-    x = _channel_dropout(x, rate, rngs[0], tile8=True)
+    x = _channel_dropout(x, rate, rngs[0], tile=8)
     x = jax.nn.relu(x)
 
     w1 = p["ConvND_1"]["Conv_0"]["kernel"]
     x = _conv(x, pack_k3_to_k3_coarse(w1), padding="SAME")
     g = p["GroupNorm_1"]
     x = gn_packed(x, g["scale"], g["bias"])
-    x = _channel_dropout(x, rate, rngs[1], tile8=True)
+    x = _channel_dropout(x, rate, rngs[1], tile=8)
     return jax.nn.relu(x)
 
 

@@ -610,15 +610,15 @@ def packed_vnet3d_apply(params, x, *, num_classes=2, features=16,
     # concat(up, skip) then the 1x1 squeeze, fused: build the squeeze
     # weight for the [upp(delta-major f16) ; out16p(delta-major f16)]
     # packed-channel order directly — no explicit permute
-    wsq = put["ConvND_0"]["Conv_0"]["kernel"][0, 0, 0]  # (32, 16)
+    wsq = put["ConvND_0"]["Conv_0"]["kernel"][0, 0, 0]  # (2f, f)
     w_up, w_skip = wsq[:f], wsq[f:]
-    wsq_packed = jnp.zeros((1, 1, 1, 256, 128), wsq.dtype)
+    wsq_packed = jnp.zeros((1, 1, 1, 16 * f, 8 * f), wsq.dtype)
     for dflat in range(8):
         wsq_packed = wsq_packed.at[
             0, 0, 0, dflat * f:(dflat + 1) * f, dflat * f:(dflat + 1) * f
         ].set(w_up)
         wsq_packed = wsq_packed.at[
-            0, 0, 0, 128 + dflat * f:128 + (dflat + 1) * f,
+            0, 0, 0, 8 * f + dflat * f:8 * f + (dflat + 1) * f,
             dflat * f:(dflat + 1) * f,
         ].set(w_skip)
     catp = _conv(jnp.concatenate([upp, out16p], axis=-1), wsq_packed,
@@ -648,8 +648,8 @@ def packed_vnet3d_apply(params, x, *, num_classes=2, features=16,
 
     # ---- head, packed ----
     ph = _p(params, "OutputHead_0")["ConvND_0"]["Conv_0"]
-    wh = ph["kernel"][0, 0, 0]  # (16, K)
-    wh_packed = jnp.zeros((1, 1, 1, 128, 8 * num_classes), wh.dtype)
+    wh = ph["kernel"][0, 0, 0]  # (f, K)
+    wh_packed = jnp.zeros((1, 1, 1, 8 * f, 8 * num_classes), wh.dtype)
     for dflat in range(8):
         wh_packed = wh_packed.at[
             0, 0, 0, dflat * f:(dflat + 1) * f,

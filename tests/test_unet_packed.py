@@ -171,3 +171,44 @@ def test_trainer_packed_stem_rejects_unsupported_model():
             loss_name="BinaryDiceLoss",
             packed_stem=True,
         )
+
+
+def test_trainer_packed_grid_vs_fine_outputs():
+    """viz_fn=None -> the packed trainer computes loss/metric in the
+    packed grid (no depth-to-space in the train graph); with a viz_fn it
+    falls back to fine-domain outputs.  Both modes produce the same loss
+    AND metric (the reductions are voxel-permutation-invariant)."""
+    from tpuseg.tasks.segmentation import make_segmentation_trainer
+    from tpuseg.tasks.trainer import TrainerConfig
+
+    model = UNet(ndim=3, num_classes=3, features=16, dropout=0.0)
+    rng = np.random.default_rng(7)
+    batch = {
+        "image": rng.normal(size=(1, 16, 16, 16, 1)).astype(np.float32),
+        "label": rng.integers(0, 3, size=(1, 16, 16, 16)).astype(np.int32),
+    }
+    results = {}
+    for viz in (None, lambda *a: None):
+        tr = make_segmentation_trainer(
+            model,
+            example_image=batch["image"],
+            num_classes=3,
+            loss_name="MutilCrossEntropyDiceLoss",
+            alpha=[1.0] * 3,
+            config=TrainerConfig(epochs=1, lr=1e-3, optimizer="adam"),
+            packed_stem=True,
+            viz_fn=viz,
+        )
+        tr._build_steps()
+        db = tr._put(batch)
+        state, m = tr._train_step(tr.state, db)  # donates tr.state
+        ev = tr._eval_step(state, db)
+        results[viz is None] = (
+            float(m["loss"]), float(m["metric"]), ev["outputs"]["probs"].shape
+        )
+    l_pk, m_pk, shape_pk = results[True]
+    l_fi, m_fi, shape_fi = results[False]
+    assert shape_fi == (1, 16, 16, 16, 3)      # fine fallback for viz
+    assert shape_pk == (1, 8, 8, 8, 24)        # packed grid outputs
+    np.testing.assert_allclose(l_pk, l_fi, rtol=2e-5)
+    np.testing.assert_allclose(m_pk, m_fi, rtol=2e-5)

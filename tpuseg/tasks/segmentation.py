@@ -71,6 +71,15 @@ def make_segmentation_trainer(
         from tpuseg.models.unet import UNet
         from tpuseg.models.vnet import VNet
 
+        # Packed-GRID loss: the supported losses/metrics reduce over
+        # voxels, so they can consume the space-to-depth-packed logits
+        # directly (labels packed to the matching voxel order on device)
+        # — the final depth-to-space of logits+probs AND the fine-layout
+        # (K-on-lanes, K≤5 of 128) loss elementwise ops drop out of the
+        # train graph.  clDice skeletonizes spatially and viz_fn expects
+        # fine-layout probs, so those fall back to fine-domain outputs.
+        packed_grid = viz_fn is None and "ClDice" not in loss_name
+
         if isinstance(model, UNet) and model.ndim == 3:
             from tpuseg.models.unet_packed import packed_unet3d_apply
 
@@ -80,6 +89,7 @@ def make_segmentation_trainer(
                     features=model.features, levels=model.levels,
                     dropout=model.dropout, train=train,
                     rng=rng if train else None,
+                    return_packed=packed_grid,
                 )
                 return {"logits": logits, "probs": probs}
 
@@ -91,6 +101,7 @@ def make_segmentation_trainer(
                     params, batch["image"], num_classes=num_classes,
                     features=model.features, dropout=model.dropout,
                     train=train, rng=rng if train else None,
+                    return_packed=packed_grid,
                 )
                 return {"logits": logits, "probs": probs}
 
@@ -101,6 +112,8 @@ def make_segmentation_trainer(
             )
 
     else:
+        packed_grid = False
+
         def apply_fn(params, batch, train, rng):
             rngs = {"dropout": rng} if (train and rng is not None) else None
             out = model.apply(params, batch["image"], train=train, rngs=rngs)
@@ -141,5 +154,32 @@ def make_segmentation_trainer(
 
     def metric_fn(outputs, batch):
         return metric(outputs["probs"], batch["label"])
+
+    if packed_grid:
+        # packed outputs (N, d, h, w, 8K): pair every voxel with its label
+        # by merging (w, delta) — both sides use the same delta-major
+        # order (models/unet_packed.py space_to_depth_labels), so each
+        # supported loss/metric (a voxel reduction) equals its fine-domain
+        # value exactly up to float reassociation (tests pin it).
+        from tpuseg.models.unet_packed import space_to_depth_labels
+
+        def _grid(chan, labels):
+            n, d, h, w, ck = chan.shape
+            k = ck // 8
+            lb = space_to_depth_labels(labels).reshape(n, d, h, w * 8)
+            return chan.reshape(n, d, h, w * 8, k), lb
+
+        if loss_name == "BinaryLovaszLoss":
+            def loss_fn(outputs, batch):  # noqa: F811
+                lg, lb = _grid(outputs["logits"], batch["label"])
+                return loss(lg[..., 0], lb.astype(jnp.float32))
+        else:
+            def loss_fn(outputs, batch):  # noqa: F811
+                lg, lb = _grid(outputs["logits"], batch["label"])
+                return loss(lg, lb)
+
+        def metric_fn(outputs, batch):  # noqa: F811
+            pb, lb = _grid(outputs["probs"], batch["label"])
+            return metric(pb, lb)
 
     return Trainer(apply_fn, loss_fn, metric_fn, params, config, mesh, viz_fn=viz_fn)

@@ -117,6 +117,44 @@ def main():
         flops = 2 * 27 * d * h * w * 27 * c * c
         print(f"{name}: {t*1e3:7.2f} ms/conv  {flops/t/1e12:6.1f} T{'OP' if 'int8' in name else 'F'}/s")
 
+    # -------- phase 2: IN-NET — packed VNet3d fwd27 bf16 vs W8A8 --------
+    # (models/vnet_packed.py int8_packed_inference; per-channel weight
+    # scales fold to consts, per-tensor dynamic activation scales)
+    from tpuseg.models import vnet_packed as vp
+    from tpuseg.models.vnet import VNet
+
+    rng = np.random.default_rng(0)
+    xb = jnp.asarray(
+        rng.normal(size=(27, 96, 96, 96, 1)).astype(np.float32),
+        jnp.bfloat16,
+    )
+    model = VNet(ndim=3, num_classes=2, features=16, dropout=0.0)
+    params = model.init(jax.random.key(0), np.zeros((1, 32, 32, 32, 1), np.float32))
+
+    fwd_bf16 = jax.jit(lambda v: vp.packed_vnet3d_probs(
+        params, v, num_classes=2, return_packed=True))
+    with vp.int8_packed_inference():
+        fwd_int8 = jax.jit(lambda v: vp.packed_vnet3d_probs(
+            params, v, num_classes=2, return_packed=True))
+
+    p_ref = fwd_bf16(xb)
+    p_q = fwd_int8(xb)
+    agree = float(jnp.mean(
+        (jnp.argmax(p_ref.reshape(*p_ref.shape[:4], 8, 2), -1)
+         == jnp.argmax(p_q.reshape(*p_q.shape[:4], 8, 2), -1)
+         ).astype(jnp.float32)))
+    print(f"\nfwd27 argmax agreement int8 vs bf16: {agree:.5f}", flush=True)
+
+    fs = {"bf16": [], "int8": []}
+    for _ in range(6):
+        for nm, fn in (("bf16", fwd_bf16), ("int8", fwd_int8)):
+            t0 = time.perf_counter()
+            sync(fn(xb))
+            fs[nm].append(time.perf_counter() - t0)
+    for nm, v in fs.items():
+        print(f"fwd27 packed {nm}: min {min(v)*1e3:.1f} ms  "
+              f"med {sorted(v)[len(v)//2]*1e3:.1f} ms")
+
 
 if __name__ == "__main__":
     main()

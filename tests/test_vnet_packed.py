@@ -188,3 +188,27 @@ def test_vnet_packed_dropout_runs():
     )
     np.testing.assert_allclose(lg1, lg1b, rtol=1e-6)
     assert not np.allclose(lg0, lg1, atol=1e-3)
+
+
+def test_int8_packed_inference_close_to_bf16(setup):
+    """W8A8 packed conv execution (int8_packed_inference): logits stay
+    within per-tensor quantization error of the flag-off forward and the
+    argmax mask agrees almost everywhere on a decision-separated net."""
+    from tpuseg.models import vnet_packed as vp
+
+    x, params, _ = setup
+    # nudge the head bias so random-init logits aren't all at the boundary
+    p = jax.tree_util.tree_map(lambda a: a, params)
+    head = p["params"]["OutputHead_0"]["ConvND_0"]["Conv_0"]
+    head["bias"] = head["bias"] + jnp.asarray([0.5, -0.5])
+
+    ref = vp.packed_vnet3d_probs(p, x, num_classes=2)
+    with vp.int8_packed_inference():
+        q = jax.jit(
+            lambda pp, xx: vp.packed_vnet3d_probs(pp, xx, num_classes=2)
+        )(p, x)
+    assert np.isfinite(np.asarray(q)).all()
+    agree = (np.argmax(np.asarray(q), -1) == np.argmax(np.asarray(ref), -1))
+    assert agree.mean() > 0.97, agree.mean()
+    # flag restored
+    assert not vp.USE_INT8_PACKED

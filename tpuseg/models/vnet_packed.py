@@ -295,8 +295,58 @@ def channel_dropout(x, rate, rng, tile: int):
 
 DN = ("NDHWC", "DHWIO", "NDHWC")
 
+# int8 W8A8 execution of the PACKED convs (VERDICT r2 #2 follow-up): the
+# fine-shape XLA-int8 path lost everywhere (BASELINE.md "int8 through
+# XLA"), but packing moved the hot convs to dense C64-C256 shapes — much
+# closer to the clean-matmul regime where the v5e int8 MXU measured ~2x
+# bf16 (476 TOP/s).  Weights quantize per-output-channel at trace time
+# (consts under the params-closure jit); activations quantize dynamically
+# per tensor (one abs-max pass — ~1 ms/conv of HBM traffic at the b27
+# packed shapes, which the conv saving must beat).  Inference-only,
+# default OFF until benchmarks/int8_packed_probe.py + an in-net
+# measurement say otherwise; quality gate: argmax agreement vs the bf16
+# packed path on a trained net.
+USE_INT8_PACKED = False
+_INT8_MIN_CIN = 32  # skip tiny-Cin convs (quant overhead dwarfs the MXU win)
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def int8_packed_inference(enable: bool = True):
+    """Run the packed convs W8A8.  INFERENCE ONLY — jnp.round has a zero
+    gradient, so a train graph traced under this flag would silently stop
+    learning.  Build jit closures inside the context (read at trace time).
+    """
+    global USE_INT8_PACKED
+    prev = USE_INT8_PACKED
+    USE_INT8_PACKED = enable
+    try:
+        yield
+    finally:
+        USE_INT8_PACKED = prev
+
+
+def _conv_int8(x, w, strides, padding):
+    wf = w.astype(jnp.float32)
+    w_scale = jnp.maximum(
+        jnp.max(jnp.abs(wf), axis=(0, 1, 2, 3)), 1e-12
+    ) / 127.0  # per-output-channel
+    wq = jnp.round(wf / w_scale).astype(jnp.int8)
+    xf = x.astype(jnp.float32)
+    a_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, wq, strides, padding, dimension_numbers=DN,
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * (a_scale * w_scale)).astype(x.dtype)
+
 
 def _conv(x, w, strides=(1, 1, 1), padding="SAME"):
+    if USE_INT8_PACKED and x.shape[-1] >= _INT8_MIN_CIN:
+        return _conv_int8(x, w, strides, padding)
     return jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), strides, padding, dimension_numbers=DN,
         preferred_element_type=x.dtype,

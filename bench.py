@@ -484,5 +484,53 @@ def main():
     )
 
 
+def wait_for_device(max_wait_s: float = 1500.0) -> bool:
+    """The axon relay occasionally goes fully unresponsive for tens of
+    minutes (CLAUDE.md): even a tiny matmul hangs, which would hang this
+    whole bench at its first compile.  Probe with a FRESH interpreter
+    (a hung in-process RPC would poison the jax client for retries) and
+    wait out a transient outage before starting the real run."""
+    import subprocess
+    import sys
+
+    probe = (
+        "import os;"
+        "os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',"
+        "'/tmp/jax_cache_tpuseg');"
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((128, 128), jnp.bfloat16);"
+        "print(float(jnp.sum(jax.jit(lambda a: a @ a)(x)[:8])))"
+    )
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], timeout=150,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print(
+            f"[bench] device probe {attempt} unresponsive; relay outage? "
+            f"retrying ({int(deadline - time.time())}s left)",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(60)
+
+
 if __name__ == "__main__":
+    import sys
+
+    if not wait_for_device():
+        print(
+            "[bench] device never became responsive (relay outage); "
+            "no measurement taken", file=sys.stderr, flush=True,
+        )
+        sys.exit(1)
     main()

@@ -20,7 +20,10 @@ from tpuseg.tasks.trainer import TrainerConfig
 TRAIN_SHAPE = (128, 112, 112)
 
 
-def build(packed):
+def build(packed, fine_outputs=False):
+    # fine_outputs: pass a dummy viz_fn, which forces the packed trainer
+    # back to fine-domain outputs (depth-to-space + K-on-lanes loss) —
+    # isolates the packed-GRID-loss delta (tasks/segmentation.py)
     unet = UNet(ndim=3, num_classes=5, features=16, dropout=0.2)
     tr = make_segmentation_trainer(
         unet,
@@ -30,6 +33,7 @@ def build(packed):
         alpha=[1.0] * 5,
         config=TrainerConfig(epochs=1, lr=1e-3, optimizer="adam"),
         packed_stem=packed,
+        viz_fn=(lambda *a: None) if fine_outputs else None,
     )
     tr._build_steps()
     return tr
@@ -43,8 +47,12 @@ def main():
         "label": rng.integers(0, 5, size=(1, *TRAIN_SHAPE)).astype(np.int32),
     }
     runners = {}
-    for name, packed in (("plain", False), ("packed", True)):
-        tr = build(packed)
+    for name, packed, fine in (
+        ("plain", False, False),
+        ("packed", True, False),       # packed-grid loss (the default)
+        ("packed_fineloss", True, True),  # packed fwd, fine-domain loss
+    ):
+        tr = build(packed, fine)
         dev_batch = tr._put(batch)
         state, m = tr._train_step(tr.state, dev_batch)
         loss0 = float(m["loss"])

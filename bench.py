@@ -521,6 +521,14 @@ def emit_stale_fallback() -> bool:
         "this is the LAST SUCCESSFUL measurement (see measured_at), "
         "re-reported unchanged — NOT a fresh run"
     )
+    # Make the staleness unmistakable at the TOP level, not just in extra:
+    # a scoreboard that parses metric/value/vs_baseline must not be able to
+    # read a replayed line as a fresh measurement.
+    extra["stale_value"] = result.get("value")
+    extra["stale_vs_baseline"] = result.get("vs_baseline")
+    result["metric"] = "STALE: " + str(result.get("metric", ""))
+    result["value"] = None
+    result["vs_baseline"] = None
     result["extra"] = extra
     print(json.dumps(result))
     return True

@@ -302,10 +302,16 @@ DN = ("NDHWC", "DHWIO", "NDHWC")
 # bf16 (476 TOP/s).  Weights quantize per-output-channel at trace time
 # (consts under the params-closure jit); activations quantize dynamically
 # per tensor (one abs-max pass — ~1 ms/conv of HBM traffic at the b27
-# packed shapes, which the conv saving must beat).  Inference-only,
-# default OFF until benchmarks/int8_packed_probe.py + an in-net
-# measurement say otherwise; quality gate: argmax agreement vs the bf16
-# packed path on a trained net.
+# packed shapes, which the conv saving must beat).  Inference-only.
+#
+# MEASURED (r4, benchmarks/int8_packed_probe.py): at the packed shapes
+# int8 IS ~2x bf16 per conv in micro chains (k3 C128@48^3 8.7 vs
+# 17.0 ms = 351 TOP/s peak; C256@12^3 0.37 vs 0.77 ms) and argmax
+# agreement is 1.00000 — but IN-NET fwd27 is a wash (int8 115.3 vs
+# bf16 114.8 ms): the packed forward is no longer conv-bound, and the
+# per-conv quantize/dequantize elementwise passes give back exactly
+# what the MXU saves.  Default stays OFF; revisit only if a later
+# lever makes the forward conv-bound again.
 USE_INT8_PACKED = False
 _INT8_MIN_CIN = 32  # skip tiny-Cin convs (quant overhead dwarfs the MXU win)
 

@@ -17,6 +17,13 @@ from tpuseg.losses import build_loss
 from tpuseg.tasks.trainer import Trainer, TrainerConfig
 from tpuseg.core.mesh import MeshContext
 
+# Opt-in: compute loss/metric on the space-to-depth-packed grid (no
+# depth-to-space in the train graph).  Exact (voxel-permutation-invariant
+# reductions; pinned in tests/test_unet_packed.py) but MEASURED ~7% slower
+# than the fine-domain loss on chip — see the round-4 ledger (BASELINE.md)
+# and the comment at the dispatch site below.
+USE_PACKED_GRID_LOSS = False
+
 
 def make_segmentation_trainer(
     model,
@@ -78,7 +85,15 @@ def make_segmentation_trainer(
         # (K-on-lanes, K≤5 of 128) loss elementwise ops drop out of the
         # train graph.  clDice skeletonizes spatially and viz_fn expects
         # fine-layout probs, so those fall back to fine-domain outputs.
-        packed_grid = viz_fn is None and "ClDice" not in loss_name
+        # MEASURED SLOWER on chip (round 4, packed_train_step_probe.py,
+        # UNet3d 112x112x128 b1 f32, interleaved): packed-grid 71.0 vs
+        # fine-domain 65.9 ms/step — the on-device label pack + 8K-lane
+        # loss cost more than the d2s pair they remove.  Off by default;
+        # the path stays exactness-tested (test_unet_packed.py).
+        packed_grid = (
+            USE_PACKED_GRID_LOSS and viz_fn is None
+            and "ClDice" not in loss_name
+        )
 
         if isinstance(model, UNet) and model.ndim == 3:
             from tpuseg.models.unet_packed import packed_unet3d_apply

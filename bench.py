@@ -137,11 +137,16 @@ def main():
     # fusions at >=128-lane width instead of XLA's (C,B)-minor layout.
     # Measured fwd27 216 -> 138 (lv1) -> 126 ms (lv2); exact vs the plain
     # model (CPU tests); sliding-window merge + argmax stay packed.
-    from tpuseg.models.vnet_packed import depth_to_space3d, packed_vnet3d_probs
+    from tpuseg.models.vnet_packed import (
+        depth_to_space3d, packed_argmax, packed_vnet3d_probs,
+    )
 
+    # class-major packed probs: the per-delta softmax runs as contiguous
+    # channel-slice arithmetic instead of a (...,8,2) reshape (r4 head fix)
     def apply_fn_packed(patches):
         return packed_vnet3d_probs(
-            params, patches.astype(jnp.bfloat16), return_packed=True
+            params, patches.astype(jnp.bfloat16), return_packed=True,
+            packed_layout="class",
         ).astype(jnp.float32)
 
     # NOTE timing methodology: on this stack jax.block_until_ready is
@@ -209,7 +214,7 @@ def main():
     def run_primary():
         return sliding_window_inference(
             codes, PATCH, apply_fn_packed, NUM_CLASSES, BATCH,
-            dequant=dequant, packed_apply=True, **opts
+            dequant=dequant, packed_apply=True, packed_layout="class", **opts
         )
 
     opts_bf16 = dict(opts, transfer_dtype="bfloat16")
@@ -217,14 +222,14 @@ def main():
     def run_bf16():
         return sliding_window_inference(
             vol, PATCH, apply_fn_packed, NUM_CLASSES, BATCH,
-            packed_apply=True, **opts_bf16
+            packed_apply=True, packed_layout="class", **opts_bf16
         )
 
     # 25%-overlap variant (12 patches), same lossless upload
     def run_25():
         return sliding_window_inference(
             codes, PATCH, apply_fn_packed, NUM_CLASSES, 12, overlap=0.25,
-            dequant=dequant, packed_apply=True, **opts
+            dequant=dequant, packed_apply=True, packed_layout="class", **opts
         )
 
     mask = run_primary()  # compile + agreement artifacts
@@ -252,11 +257,17 @@ def main():
 
     @jax.jit
     def whole_volume_mask(params, v):
-        # packed forward + packed argmax; only the uint8 mask unpacks
-        probsp = packed_vnet3d_probs(params, v, return_packed=True)
-        sh = probsp.shape[:4]
-        grouped = probsp.reshape(sh + (8, NUM_CLASSES))
-        mp = jnp.argmax(grouped, axis=-1).astype(jnp.uint8)
+        # packed forward + packed argmax; only the uint8 mask unpacks.
+        # No overlap merge here, so argmax(softmax(l)) == argmax(l): run
+        # the argmax on the class-major LOGITS — no softmax in the
+        # program at all, and the argmax is contiguous slice compares.
+        from tpuseg.models.vnet_packed import packed_vnet3d_apply
+
+        logitsp, _ = packed_vnet3d_apply(
+            params, v, num_classes=NUM_CLASSES, return_packed=True,
+            packed_layout="class",
+        )
+        mp = packed_argmax(logitsp, NUM_CLASSES, layout="class")
         m = depth_to_space3d(mp)[..., 0]
         flat = m.reshape(-1, 8)
         w8 = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)

@@ -56,7 +56,9 @@ def profile_fwd():
 
     @jax.jit
     def fwd(x):
-        return packed_vnet3d_probs(params, x, return_packed=True)
+        # class-major head (r4): the packed softmax is slice arithmetic
+        return packed_vnet3d_probs(params, x, return_packed=True,
+                                   packed_layout="class")
 
     sync(fwd(xb))
     t0 = time.perf_counter()

@@ -50,9 +50,12 @@ def test_packed_vnet_batch_and_nonisotropic(setup):
     np.testing.assert_allclose(probs, np.asarray(probs_ref), atol=1e-4)
 
 
-def test_sliding_window_packed_apply_matches_plain(setup):
+@pytest.mark.parametrize("layout", ["delta", "class"])
+def test_sliding_window_packed_apply_matches_plain(setup, layout):
     """The packed-merge sliding-window path (packed_apply=True) produces
-    the same mask and probs as the plain path."""
+    the same mask and probs as the plain path — in both packed-probs
+    channel conventions (delta-major and the reshape-free-softmax
+    class-major head, pack_head_1x1)."""
     from tpuseg.infer.sliding_window import sliding_window_inference
 
     _, params, _ = setup
@@ -66,7 +69,7 @@ def test_sliding_window_packed_apply_matches_plain(setup):
 
     def apply_packed(patches):
         return vnet_packed.packed_vnet3d_probs(
-            params, patches, return_packed=True
+            params, patches, return_packed=True, packed_layout=layout
         )
 
     kw = dict(patch=(32, 32, 32), num_classes=2, batch_size=4, overlap=0.5)
@@ -74,14 +77,44 @@ def test_sliding_window_packed_apply_matches_plain(setup):
         vol, apply_fn=apply_plain, return_mask=True, **kw
     )
     mask_pk = sliding_window_inference(
-        vol, apply_fn=apply_packed, return_mask=True, packed_apply=True, **kw
+        vol, apply_fn=apply_packed, return_mask=True, packed_apply=True,
+        packed_layout=layout, **kw
     )
     assert (mask_ref == mask_pk).mean() > 0.9999, (mask_ref != mask_pk).mean()
     probs_ref = sliding_window_inference(vol, apply_fn=apply_plain, **kw)
     probs_pk = sliding_window_inference(
-        vol, apply_fn=apply_packed, packed_apply=True, **kw
+        vol, apply_fn=apply_packed, packed_apply=True, packed_layout=layout,
+        **kw
     )
     np.testing.assert_allclose(probs_pk, probs_ref, atol=2e-4)
+
+
+@pytest.mark.parametrize("num_classes", [1, 2, 5])
+def test_class_major_head_matches_delta(num_classes):
+    """pack_head_1x1/packed_softmax/packed_argmax class-major results are
+    the delta-major results under the channel permutation k*8+d <->
+    d*K+k — pinned at the op level (random logits-producing net not
+    needed: the helpers are pure functions of the head weights)."""
+    rng = np.random.default_rng(7)
+    f = 16
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 4, 8 * f)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(f, num_classes)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(num_classes,)).astype(np.float32))
+
+    def head(layout):
+        wp, bp = vnet_packed.pack_head_1x1(w, b, num_classes, f, layout=layout)
+        lg = vnet_packed._conv(x, wp, padding="VALID") + bp
+        return lg, vnet_packed.packed_softmax(lg, num_classes, layout=layout)
+
+    lg_d, pr_d = head("delta")
+    lg_c, pr_c = head("class")
+    lg_c2d = vnet_packed.packed_class_to_delta(lg_c, num_classes)
+    pr_c2d = vnet_packed.packed_class_to_delta(pr_c, num_classes)
+    np.testing.assert_allclose(np.asarray(lg_c2d), np.asarray(lg_d), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pr_c2d), np.asarray(pr_d), atol=1e-6)
+    m_d = vnet_packed.packed_argmax(pr_d, num_classes, layout="delta")
+    m_c = vnet_packed.packed_argmax(pr_c, num_classes, layout="class")
+    np.testing.assert_array_equal(np.asarray(m_d), np.asarray(m_c))
 
 
 @pytest.mark.parametrize("levels", [1, 2])

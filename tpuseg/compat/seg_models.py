@@ -215,6 +215,12 @@ class _SegModelBase:
             return all(s > 0 and s % div == 0 for s in spatial)
         return False
 
+    # packed-probs channel order handed to the sliding-window merge when
+    # return_packed: "class" (k*8+delta) runs the per-delta softmax as
+    # contiguous slice arithmetic — no (...,8,K) reshape in the per-patch
+    # program (models/vnet_packed.py pack_head_1x1)
+    packed_probs_layout = "class"
+
     def _probs_apply(self, spatial, return_packed: bool = False):
         """(N, *spatial, C) -> probs apply fn for the 3D volume paths.
 
@@ -226,7 +232,8 @@ class _SegModelBase:
         self._ensure_trainer()
         params = self.trainer.state["params"]
         packed = self._supports_packed(spatial)
-        key = (packed, bool(return_packed and packed), id(params))
+        layout = self.packed_probs_layout
+        key = (packed, bool(return_packed and packed), layout, id(params))
         hit = self._apply_cache.get(key)
         if hit is not None:
             return hit[0], hit[1], packed
@@ -237,7 +244,8 @@ class _SegModelBase:
 
             def fn(x):
                 return packed_vnet3d_probs(
-                    params, x, num_classes=nc, features=f, return_packed=rp
+                    params, x, num_classes=nc, features=f, return_packed=rp,
+                    packed_layout=layout,
                 )
         elif packed:
             from tpuseg.models.unet_packed import packed_unet3d_apply
@@ -248,7 +256,7 @@ class _SegModelBase:
             def fn(x):
                 _, probs = packed_unet3d_apply(
                     params, x, num_classes=nc, features=f, levels=lv,
-                    return_packed=rp,
+                    return_packed=rp, packed_layout=layout,
                 )
                 return probs
         else:
@@ -358,6 +366,7 @@ class _Seg3dMixin:
             batch_size=batch_size,
             transfer_dtype=transfer_dtype,
             packed_apply=packed,
+            packed_layout=self.packed_probs_layout,
         )
 
 

@@ -65,6 +65,7 @@ def _gaussian_patch_weight(patch, sigma_scale: float = 0.125):
     static_argnames=(
         "positions", "apply_fn", "patch", "batch_size", "num_classes",
         "gaussian", "mask_only", "pack_mask", "packed_apply",
+        "packed_layout",
     ),
 )
 def _sliding_window_jit(
@@ -86,6 +87,9 @@ def _sliding_window_jit(
     #             argmax and weight accumulation then run entirely in the
     #             packed (128-lane-friendly) layout; requires even volume
     #             dims and even grid positions (models/vnet_packed.py)
+    packed_layout: str = "delta",  # channel order of the packed probs:
+    #             "delta" (delta*K + k) or "class" (k*8 + delta — the
+    #             reshape-free-softmax head, pack_head_1x1)
 ):
     pd, ph, pw = patch
     patch_w = _gaussian_patch_weight(patch) if gaussian else None
@@ -143,7 +147,10 @@ def _sliding_window_jit(
             sl = sl // 2
         if packed_apply and patch_w is not None:
             # per-delta weights: (pd/2, ph/2, pw/2, 8) -> broadcast per class
-            pw_map = jnp.repeat(patch_w, num_classes, axis=-1)
+            if packed_layout == "class":
+                pw_map = jnp.tile(patch_w, (1, 1, 1, num_classes))
+            else:
+                pw_map = jnp.repeat(patch_w, num_classes, axis=-1)
         else:
             pw_map = patch_w
 
@@ -175,7 +182,12 @@ def _sliding_window_jit(
     (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), jnp.arange(n_batches))
     if need_wacc:
         if packed_apply:
-            w_full = jnp.repeat(jnp.maximum(wacc, 1e-7), num_classes, axis=-1)
+            wc = jnp.maximum(wacc, 1e-7)
+            w_full = (
+                jnp.tile(wc, (1, 1, 1, num_classes))
+                if packed_layout == "class"
+                else jnp.repeat(wc, num_classes, axis=-1)
+            )
             probs = acc / w_full
         else:
             probs = acc / jnp.maximum(wacc, 1e-7)
@@ -184,18 +196,18 @@ def _sliding_window_jit(
     # device-side hard mask: fetching uint8 labels instead of float probs
     # cuts D2H volume ~8-16x (the relay link is the serving bottleneck)
     if packed_apply:
-        sh = probs.shape[:3]
-        grouped = probs.reshape(sh + (8, num_classes))
-        if num_classes == 1:
-            mask_p = (grouped[..., 0] > 0.5).astype(jnp.uint8)
-        else:
-            mask_p = jnp.argmax(grouped, axis=-1).astype(jnp.uint8)
-        from tpuseg.models.vnet_packed import depth_to_space3d
+        from tpuseg.models.vnet_packed import (
+            depth_to_space3d, packed_argmax, packed_class_to_delta,
+        )
 
+        sh = probs.shape[:3]
+        mask_p = packed_argmax(probs, num_classes, layout=packed_layout)
         mask = depth_to_space3d(mask_p[None])[0, ..., 0]
-        probs = depth_to_space3d(
-            probs.reshape(sh + (8 * num_classes,))[None]
-        )[0] if not mask_only else probs
+        if not mask_only:
+            if packed_layout == "class":
+                # per-volume, once: delta-major is what d2s understands
+                probs = packed_class_to_delta(probs, num_classes)
+            probs = depth_to_space3d(probs[None])[0]
     elif num_classes == 1:
         mask = (probs[..., 0] > 0.5).astype(jnp.uint8)
     else:
@@ -222,6 +234,7 @@ def sliding_window_inference(
     pack_mask: bool = False,
     dequant: Optional[Sequence[float]] = None,
     packed_apply: bool = False,
+    packed_layout: str = "delta",
 ):
     """Run `apply_fn` over an overlapping patch grid of `volume`
     ((D,H,W) or (D,H,W,C)) and return merged class probabilities
@@ -313,6 +326,7 @@ def sliding_window_inference(
         do_pack,
         dequant,
         packed_apply,
+        packed_layout,
     )
     if return_mask:
         out = np.asarray(mask)

@@ -141,6 +141,7 @@ def infer_volume_patched(
     transfer_dtype: Optional[str] = None,
     pack_mask: bool = False,
     packed_apply: bool = False,
+    packed_layout: str = "delta",
 ) -> Volume:
     """`modelUnet.py:707` inference_patch(): spacing resample → HU window
     normalize → batched sliding-window (intended 50% overlap, weighted
@@ -181,6 +182,7 @@ def infer_volume_patched(
         arr, patch_dhw, apply_fn, num_classes, batch_size, overlap,
         return_mask=True, transfer_dtype=transfer_dtype,
         pack_mask=pack_mask, dequant=dequant, packed_apply=packed_apply,
+        packed_layout=packed_layout,
     )
     mask_vol = Volume(mask.astype(np.uint8))
     mask_vol.copy_geometry_from(work)

@@ -41,9 +41,11 @@ from tpuseg.models.vnet_packed import (
     depth_to_space3d,
     gn_fine,
     gn_packed,
+    pack_head_1x1,
     pack_k3_to_k3_coarse,
     pack_k3_to_k4s2,
     pack_transpose_k2s2_to_1x1,
+    packed_softmax,
     tile_channel_packed,
 )
 
@@ -120,25 +122,21 @@ def _convblock_packed_concat(up_p, skip_p, p, rate, rngs, f: int):
     return jax.nn.relu(x)
 
 
-def _head_packed(x, p, num_classes: int, f: int):
+def _head_packed(x, p, num_classes: int, f: int, layout: str = "delta"):
     """1x1 head on packed input: block-diagonal (8f -> 8K) weight."""
-    w = p["ConvND_0"]["Conv_0"]["kernel"][0, 0, 0]  # (f, K)
-    wp = jnp.zeros((1, 1, 1, 8 * f, 8 * num_classes), w.dtype)
-    for dflat in range(8):
-        wp = wp.at[
-            0, 0, 0, dflat * f:(dflat + 1) * f,
-            dflat * num_classes:(dflat + 1) * num_classes,
-        ].set(w)
+    wp, bp = pack_head_1x1(
+        p["ConvND_0"]["Conv_0"]["kernel"][0, 0, 0],
+        p["ConvND_0"]["Conv_0"]["bias"], num_classes, f, layout=layout,
+    )
     logits = _conv(x, wp, padding="VALID")
-    return logits + tile_channel_packed(
-        p["ConvND_0"]["Conv_0"]["bias"]
-    ).astype(x.dtype)
+    return logits + bp.astype(x.dtype)
 
 
 def packed_unet3d_apply(params, x, *, num_classes: int, features: int = 16,
                         levels: int = 4, dropout: float = 0.2,
                         train: bool = False, rng=None,
-                        return_packed: bool = False):
+                        return_packed: bool = False,
+                        packed_layout: str = "delta"):
     """Exact UNet(ndim=3) forward with level 0 executed packed.
 
     `params`: the PLAIN UNet(ndim=3) param pytree (models/unet.py).
@@ -208,14 +206,10 @@ def packed_unet3d_apply(params, x, *, num_classes: int, features: int = 16,
         (take_rng(), take_rng()), f,
     )
 
-    logitsp = _head_packed(outp, p["OutputHead_0"], num_classes, f)
-    np_, dp, hp, wp, _ = logitsp.shape
-    if num_classes == 1:
-        probsp = jax.nn.sigmoid(logitsp)
-    else:
-        probsp = jax.nn.softmax(
-            logitsp.reshape(np_, dp, hp, wp, 8, num_classes), axis=-1
-        ).reshape(np_, dp, hp, wp, 8 * num_classes)
+    layout = packed_layout if return_packed else "delta"
+    logitsp = _head_packed(outp, p["OutputHead_0"], num_classes, f,
+                           layout=layout)
+    probsp = packed_softmax(logitsp, num_classes, layout=layout)
     if return_packed:
         return logitsp, probsp
     return depth_to_space3d(logitsp), depth_to_space3d(probsp)

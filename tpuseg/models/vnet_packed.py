@@ -497,12 +497,100 @@ def depth_to_space3d(x):
     return x.reshape(n, 2 * d, 2 * h, 2 * w, c)
 
 
+def pack_head_1x1(w, bias, num_classes, f, p=8, layout="delta"):
+    """Fine 1x1 head (f, K) -> packed block (p*f, p*K) + packed bias.
+
+    layout="delta": output channel delta*K + k (delta-major, matching
+    space_to_depth — required by depth_to_space3d and the packed-grid
+    loss).  layout="class": output channel k*p + delta (CLASS-major) so
+    the per-delta softmax becomes contiguous minor-dim slice arithmetic
+    — the r4 fwd27 profile showed ~10 ms/rep of T(2,128) transposed
+    layouts from the (...,p,K)-reshape softmax on delta-major logits."""
+    wp = jnp.zeros((1, 1, 1, p * f, p * num_classes), w.dtype)
+    for dflat in range(p):
+        for k in range(num_classes):
+            col = k * p + dflat if layout == "class" else dflat * num_classes + k
+            wp = wp.at[0, 0, 0, dflat * f:(dflat + 1) * f, col].set(w[:, k])
+    bp = (
+        jnp.repeat(bias, p) if layout == "class"
+        else jnp.tile(bias, p)
+    )
+    return wp, bp
+
+
+def packed_softmax(logitsp, num_classes, p=8, layout="delta"):
+    """Per-delta softmax over classes on packed logits.
+
+    layout="class" ([k0: deltas 0..p-1, k1: ...]) computes it with
+    contiguous channel slices only — no (..., p, K) reshape, so no
+    transposed small-minor-dim layouts appear in the program.
+    layout="delta" keeps the original reshape form (needed where the
+    delta-major channel order is load-bearing downstream)."""
+    if num_classes == 1:
+        return jax.nn.sigmoid(logitsp)
+    if layout == "class":
+        parts = [
+            logitsp[..., k * p:(k + 1) * p] for k in range(num_classes)
+        ]
+        m = parts[0]
+        for q in parts[1:]:
+            m = jnp.maximum(m, q)
+        exps = [jnp.exp(q - m) for q in parts]
+        s = exps[0]
+        for e in exps[1:]:
+            s = s + e
+        inv = 1.0 / s
+        return jnp.concatenate([e * inv for e in exps], axis=-1)
+    shp = logitsp.shape
+    return jax.nn.softmax(
+        logitsp.reshape(shp[:-1] + (p, num_classes)), axis=-1
+    ).reshape(shp)
+
+
+def packed_class_to_delta(x, num_classes, p=8):
+    """Class-major packed channels (k*p + delta) -> delta-major
+    (delta*K + k).  One transpose — intended for per-VOLUME use (e.g.
+    before depth_to_space3d), not per-patch."""
+    shp = x.shape
+    return (
+        x.reshape(shp[:-1] + (num_classes, p))
+        .swapaxes(-1, -2)
+        .reshape(shp[:-1] + (p * num_classes,))
+    )
+
+
+def packed_argmax(probs, num_classes, p=8, layout="delta"):
+    """Per-delta argmax over classes on packed probs -> (..., p) uint8.
+
+    In the class-major layout the argmax is running slice compares on
+    contiguous p-channel groups — no reshape at all (for K=2 a single
+    greater-than).  Tie-breaking matches jnp.argmax (first max wins)."""
+    shp = probs.shape
+    if layout == "class":
+        if num_classes == 1:
+            return (probs[..., :p] > 0.5).astype(jnp.uint8)
+        best = probs[..., :p]
+        idx = jnp.zeros(shp[:-1] + (p,), jnp.uint8)
+        for k in range(1, num_classes):
+            cand = probs[..., k * p:(k + 1) * p]
+            take = cand > best
+            best = jnp.maximum(best, cand)
+            idx = jnp.where(take, jnp.uint8(k), idx)
+        return idx
+    grouped = probs.reshape(shp[:-1] + (p, num_classes))
+    if num_classes == 1:
+        return (grouped[..., 0] > 0.5).astype(jnp.uint8)
+    return jnp.argmax(grouped, axis=-1).astype(jnp.uint8)
+
+
 def packed_vnet3d_probs(params, x, num_classes=2, features=16,
-                        return_packed=False, packed_levels=None):
+                        return_packed=False, packed_levels=None,
+                        packed_layout="delta"):
     """Inference wrapper around packed_vnet3d_apply: probs only."""
     _, probs = packed_vnet3d_apply(
         params, x, num_classes=num_classes, features=features,
         return_packed=return_packed, packed_levels=packed_levels,
+        packed_layout=packed_layout,
     )
     return probs
 
@@ -510,7 +598,7 @@ def packed_vnet3d_probs(params, x, num_classes=2, features=16,
 def packed_vnet3d_apply(params, x, *, num_classes=2, features=16,
                         dropout: float = 0.2, train: bool = False,
                         rng=None, return_packed=False,
-                        packed_levels=None):
+                        packed_levels=None, packed_layout="delta"):
     """Exact VNet3d forward with the finest level(s) executed packed.
 
     `params`: the PLAIN VNet(ndim=3) param pytree.  `x`: (N, D, H, W, 1)
@@ -526,6 +614,13 @@ def packed_vnet3d_apply(params, x, *, num_classes=2, features=16,
     packs the DownTransition_0 / UpTransition_2 (48^3-scale C32) level,
     whose conv+GN units and lane-starved elementwise ops were the
     remaining wall in the r3 packed fwd27 profile.
+
+    packed_layout ("delta" | "class", return_packed=True only): channel
+    order of the returned packed logits/probs.  "class" emits class-major
+    channels (k*8 + delta) so the softmax runs reshape-free (see
+    pack_head_1x1) — the sliding-window merge accepts either via its own
+    packed_layout flag.  The fine-domain return path always uses delta
+    internally (depth_to_space3d requires it).
     """
     if packed_levels is None:
         packed_levels = PACKED_LEVELS_DEFAULT  # resolved at call time
@@ -703,23 +798,14 @@ def packed_vnet3d_apply(params, x, *, num_classes=2, features=16,
     outp = lu + catp
 
     # ---- head, packed ----
+    layout = packed_layout if return_packed else "delta"
     ph = _p(params, "OutputHead_0")["ConvND_0"]["Conv_0"]
-    wh = ph["kernel"][0, 0, 0]  # (f, K)
-    wh_packed = jnp.zeros((1, 1, 1, 8 * f, 8 * num_classes), wh.dtype)
-    for dflat in range(8):
-        wh_packed = wh_packed.at[
-            0, 0, 0, dflat * f:(dflat + 1) * f,
-            dflat * num_classes:(dflat + 1) * num_classes,
-        ].set(wh)
+    wh_packed, bh_packed = pack_head_1x1(
+        ph["kernel"][0, 0, 0], ph["bias"], num_classes, f, layout=layout
+    )
     logitsp = _conv(outp, wh_packed, padding="VALID")
-    logitsp = logitsp + tile_channel_packed(ph["bias"]).astype(x.dtype)
-    n, dp, hp, wp, _ = logitsp.shape
-    if num_classes == 1:
-        probsp = jax.nn.sigmoid(logitsp)
-    else:
-        probsp = jax.nn.softmax(
-            logitsp.reshape(n, dp, hp, wp, 8, num_classes), axis=-1
-        ).reshape(n, dp, hp, wp, 8 * num_classes)
+    logitsp = logitsp + bh_packed.astype(x.dtype)
+    probsp = packed_softmax(logitsp, num_classes, layout=layout)
     if return_packed:
         return logitsp, probsp
     return depth_to_space3d(logitsp), depth_to_space3d(probsp)

@@ -20,10 +20,15 @@ from tpuseg.tasks.trainer import TrainerConfig
 TRAIN_SHAPE = (128, 112, 112)
 
 
-def build(packed, fine_outputs=False):
-    # fine_outputs: pass a dummy viz_fn, which forces the packed trainer
-    # back to fine-domain outputs (depth-to-space + K-on-lanes loss) —
-    # isolates the packed-GRID-loss delta (tasks/segmentation.py)
+def build(packed, grid=False, cls=False):
+    # loss-domain flags (tasks/segmentation.py): grid = delta-major
+    # packed-grid loss, cls = class-major slice-form loss
+    # (losses/packed_class.py); both off = fine-domain loss (d2s pair in
+    # the train graph).
+    from tpuseg.tasks import segmentation
+
+    segmentation.USE_PACKED_GRID_LOSS = grid
+    segmentation.USE_PACKED_CLASS_LOSS = cls
     unet = UNet(ndim=3, num_classes=5, features=16, dropout=0.2)
     tr = make_segmentation_trainer(
         unet,
@@ -33,7 +38,6 @@ def build(packed, fine_outputs=False):
         alpha=[1.0] * 5,
         config=TrainerConfig(epochs=1, lr=1e-3, optimizer="adam"),
         packed_stem=packed,
-        viz_fn=(lambda *a: None) if fine_outputs else None,
     )
     tr._build_steps()
     return tr
@@ -47,12 +51,13 @@ def main():
         "label": rng.integers(0, 5, size=(1, *TRAIN_SHAPE)).astype(np.int32),
     }
     runners = {}
-    for name, packed, fine in (
-        ("plain", False, False),
-        ("packed", True, False),       # packed-grid loss (the default)
-        ("packed_fineloss", True, True),  # packed fwd, fine-domain loss
+    for name, packed, grid, cls in (
+        ("plain", False, False, False),
+        ("packed_fineloss", True, False, False),  # r4 default
+        ("packed_gridloss", True, True, False),   # delta-major grid loss
+        ("packed_classloss", True, False, True),  # class-major slice loss
     ):
-        tr = build(packed, fine)
+        tr = build(packed, grid, cls)
         dev_batch = tr._put(batch)
         state, m = tr._train_step(tr.state, dev_batch)
         loss0 = float(m["loss"])
@@ -77,7 +82,9 @@ def main():
     for k, v in ts.items():
         print(f"{k}: {min(v)/10*1e3:.1f} ms/step (min)  "
               f"{np.median(v)/10*1e3:.1f} ms/step (median)")
-    print(f"speedup (min): {min(ts['plain'])/min(ts['packed']):.2f}x")
+    best = min(min(ts[k]) for k in ts if k != "plain")
+    print(f"speedup (min, best packed variant): "
+          f"{min(ts['plain'])/best:.2f}x")
 
 
 if __name__ == "__main__":

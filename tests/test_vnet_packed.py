@@ -89,6 +89,36 @@ def test_sliding_window_packed_apply_matches_plain(setup, layout):
     np.testing.assert_allclose(probs_pk, probs_ref, atol=2e-4)
 
 
+@pytest.mark.parametrize("layout", ["delta", "class"])
+def test_fold_merge_matches_scan_packed(setup, layout):
+    """The fold-merge (whole grid in one batch: static overlap-add, no
+    scatter) equals the scan merge (batch_size < n_pos) on the packed
+    path — mask and probs."""
+    from tpuseg.infer.sliding_window import sliding_window_inference
+
+    _, params, _ = setup
+    rng = np.random.default_rng(5)
+    vol = rng.normal(size=(64, 32, 32)).astype(np.float32)
+
+    def apply_packed(patches):
+        return vnet_packed.packed_vnet3d_probs(
+            params, patches, return_packed=True, packed_layout=layout
+        )
+
+    kw = dict(patch=(32, 32, 32), num_classes=2, overlap=0.5,
+              packed_apply=True, packed_layout=layout,
+              apply_fn=apply_packed)
+    # d positions [0, 16, 32]: batch 4 -> one batch (fold); 1 -> scan
+    m_fold = sliding_window_inference(vol, batch_size=4, return_mask=True,
+                                      **kw)
+    m_scan = sliding_window_inference(vol, batch_size=1, return_mask=True,
+                                      **kw)
+    np.testing.assert_array_equal(m_fold, m_scan)
+    p_fold = sliding_window_inference(vol, batch_size=4, **kw)
+    p_scan = sliding_window_inference(vol, batch_size=1, **kw)
+    np.testing.assert_allclose(p_fold, p_scan, atol=2e-5)
+
+
 @pytest.mark.parametrize("num_classes", [1, 2, 5])
 def test_class_major_head_matches_delta(num_classes):
     """pack_head_1x1/packed_softmax/packed_argmax class-major results are

@@ -47,6 +47,65 @@ def grid_positions(vol_shape: Sequence[int], patch: Sequence[int], overlap: floa
     return grid.astype(np.int32)
 
 
+def _axis_lists(positions):
+    """If the (n, 3) position grid is the row-major Cartesian product of
+    per-axis start lists, return those lists; else None.  grid_positions
+    always produces this structure (meshgrid ij), so the fold-merge below
+    applies to every internally-generated grid."""
+    pos = np.asarray(positions)
+    lists = [np.unique(pos[:, a]) for a in range(3)]
+    if int(np.prod([len(l) for l in lists])) != pos.shape[0]:
+        return None
+    expect = np.stack(
+        np.meshgrid(*lists, indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    return [l.tolist() for l in lists] if (expect == pos).all() else None
+
+
+def _overlap_add_1d(arrs, starts, size, axis):
+    """Static overlap-add of equal-length windows along `axis`: the output
+    [0, size) is assembled as a concat of segments, each the sum of the
+    covering windows' slices — no scatter (TPU dynamic-update-slice runs
+    ~30x above the memory floor for this access pattern; the r4 merge
+    profile measured the 27-patch scatter at ~16 ms vs ~0.5 ms of
+    traffic)."""
+    win = arrs[0].shape[axis]
+    edges = sorted({0, size, *starts, *[s + win for s in starts]})
+    segs = []
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        terms = []
+        for a, s in zip(arrs, starts):
+            if s <= lo and hi <= s + win:
+                sl = [slice(None)] * a.ndim
+                sl[axis] = slice(lo - s, hi - s)
+                terms.append(a[tuple(sl)])
+        t = terms[0]
+        for q in terms[1:]:
+            t = t + q
+        segs.append(t)
+    return jnp.concatenate(segs, axis=axis) if len(segs) > 1 else segs[0]
+
+
+def _fold_merge(x, pos_lists, out_dhw):
+    """(P, a, b, c, C) patch stack (P row-major over pos_lists) ->
+    (D, H, W, C) overlap-added volume, axis by axis."""
+    n0, n1, n2 = (len(l) for l in pos_lists)
+    a, b, c, ch = x.shape[1:]
+    x = x.reshape(n0, n1, n2, a, b, c, ch)
+    # fold w: (n0, n1, n2, a, b, c, C) -> (n0, n1, a, b, W, C)
+    x = _overlap_add_1d(
+        [x[:, :, i] for i in range(n2)], pos_lists[2], out_dhw[2], axis=4
+    )
+    # fold h: -> (n0, a, b=H?, ...) -> (n0, a, H, W, C)
+    x = _overlap_add_1d(
+        [x[:, i] for i in range(n1)], pos_lists[1], out_dhw[1], axis=2
+    )
+    # fold d: -> (D, H, W, C)
+    return _overlap_add_1d(
+        [x[i] for i in range(n0)], pos_lists[0], out_dhw[0], axis=0
+    )
+
+
 def _gaussian_patch_weight(patch, sigma_scale: float = 0.125):
     """nnU-Net-style center-weighted importance map: voxels near a patch
     border (least context) contribute least to the overlap merge — a
@@ -96,7 +155,8 @@ def _sliding_window_jit(
     if dequant is not None:
         volume = volume.astype(jnp.bfloat16) * dequant[0] + dequant[1]
     c_in = volume.shape[-1]
-    positions = jnp.asarray(np.asarray(positions, np.int32))
+    pos_static = np.asarray(positions, np.int32)
+    positions = jnp.asarray(pos_static)
     n_pos = positions.shape[0]
     n_batches = -(-n_pos // batch_size)
     pad_to = n_batches * batch_size
@@ -136,6 +196,48 @@ def _sliding_window_jit(
         )
     acc_c = acc.shape[-1]
     wacc_c = 8 if (packed_apply and need_wacc) else 1
+
+    # When the whole grid fits one apply batch (the batched production
+    # path) and the positions are a Cartesian product (every
+    # grid_positions grid is), merge by axis-wise overlap-add of static
+    # slices instead of a scan of dynamic-update-slices: the r4 merge
+    # profile measured the 27-patch scatter at ~16 ms (~30x the traffic
+    # floor); the fold is plain slice/add/concat that XLA fuses.
+    fold_lists = _axis_lists(pos_static) if n_batches == 1 else None
+    if fold_lists is not None:
+        patches = jax.vmap(extract)(pad_pos)
+        probs_all = apply_fn(patches)[:n_pos].astype(jnp.float32)
+        if packed_apply:
+            fold_lists = [[s // 2 for s in l] for l in fold_lists]
+            out_dhw = acc_shape
+        else:
+            out_dhw = volume.shape[:3]
+        if packed_apply and patch_w is not None:
+            pw_map = (
+                jnp.tile(patch_w, (1, 1, 1, num_classes))
+                if packed_layout == "class"
+                else jnp.repeat(patch_w, num_classes, axis=-1)
+            )
+        else:
+            pw_map = patch_w
+        if pw_map is not None:
+            probs_all = probs_all * pw_map
+        acc = _fold_merge(probs_all, fold_lists, out_dhw)
+        if need_wacc:
+            w_one = (
+                patch_w if patch_w is not None
+                else jnp.ones((spd, sph, spw, wacc_c), jnp.float32)
+            )
+            wacc = _fold_merge(
+                jnp.broadcast_to(
+                    w_one[None], (n_pos, spd, sph, spw, w_one.shape[-1])
+                ),
+                fold_lists, out_dhw,
+            )
+        return _finish_merge(
+            acc, wacc, need_wacc, packed_apply, packed_layout, num_classes,
+            mask_only, pack_mask,
+        )
 
     def body(carry, batch_idx):
         acc, wacc = carry
@@ -180,6 +282,16 @@ def _sliding_window_jit(
         return (acc, wacc), None
 
     (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), jnp.arange(n_batches))
+    return _finish_merge(
+        acc, wacc, need_wacc, packed_apply, packed_layout, num_classes,
+        mask_only, pack_mask,
+    )
+
+
+def _finish_merge(acc, wacc, need_wacc, packed_apply, packed_layout,
+                  num_classes, mask_only, pack_mask):
+    """Shared tail of the merge: weight normalization, device-side mask,
+    depth-to-space, bit-packing."""
     if need_wacc:
         if packed_apply:
             wc = jnp.maximum(wacc, 1e-7)
@@ -200,7 +312,6 @@ def _sliding_window_jit(
             depth_to_space3d, packed_argmax, packed_class_to_delta,
         )
 
-        sh = probs.shape[:3]
         mask_p = packed_argmax(probs, num_classes, layout=packed_layout)
         mask = depth_to_space3d(mask_p[None])[0, ..., 0]
         if not mask_only:

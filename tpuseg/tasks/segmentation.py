@@ -20,9 +20,18 @@ from tpuseg.core.mesh import MeshContext
 # Opt-in: compute loss/metric on the space-to-depth-packed grid (no
 # depth-to-space in the train graph).  Exact (voxel-permutation-invariant
 # reductions; pinned in tests/test_unet_packed.py) but MEASURED ~7% slower
-# than the fine-domain loss on chip — see the round-4 ledger (BASELINE.md)
-# and the comment at the dispatch site below.
+# than the fine-domain loss on chip in its DELTA-major generic form — see
+# the round-4 ledger (BASELINE.md) and the comment at the dispatch site.
 USE_PACKED_GRID_LOSS = False
+
+# The CLASS-major packed-grid loss (losses/packed_class.py): softmax,
+# one-hot compares and per-class stats as contiguous 8-channel slices —
+# no (..., K) minor dim anywhere in the loss, on top of dropping the
+# d2s pair.  Used when packed_stem and the loss has a packed twin;
+# falls back to the fine-domain loss otherwise.  Independent of
+# USE_PACKED_GRID_LOSS (which selects the delta-major generic form).
+# Default OFF until the chip measurement lands (see round-4 ledger).
+USE_PACKED_CLASS_LOSS = False
 
 
 def make_segmentation_trainer(
@@ -90,10 +99,22 @@ def make_segmentation_trainer(
         # fine-domain 65.9 ms/step — the on-device label pack + 8K-lane
         # loss cost more than the d2s pair they remove.  Off by default;
         # the path stays exactness-tested (test_unet_packed.py).
-        packed_grid = (
+        packed_loss_fn = None
+        if (
+            USE_PACKED_CLASS_LOSS and viz_fn is None and num_classes > 1
+            and accuracy_name in ("dice", "iou")
+        ):
+            from tpuseg.losses.packed_class import build_packed_loss
+
+            packed_loss_fn = build_packed_loss(
+                loss_name, num_classes, alpha=alpha, gamma=gamma
+            )
+        packed_class = packed_loss_fn is not None
+        packed_grid = packed_class or (
             USE_PACKED_GRID_LOSS and viz_fn is None
             and "ClDice" not in loss_name
         )
+        packed_layout = "class" if packed_class else "delta"
 
         if isinstance(model, UNet) and model.ndim == 3:
             from tpuseg.models.unet_packed import packed_unet3d_apply
@@ -104,7 +125,7 @@ def make_segmentation_trainer(
                     features=model.features, levels=model.levels,
                     dropout=model.dropout, train=train,
                     rng=rng if train else None,
-                    return_packed=packed_grid,
+                    return_packed=packed_grid, packed_layout=packed_layout,
                 )
                 return {"logits": logits, "probs": probs}
 
@@ -116,7 +137,7 @@ def make_segmentation_trainer(
                     params, batch["image"], num_classes=num_classes,
                     features=model.features, dropout=model.dropout,
                     train=train, rng=rng if train else None,
-                    return_packed=packed_grid,
+                    return_packed=packed_grid, packed_layout=packed_layout,
                 )
                 return {"logits": logits, "probs": probs}
 
@@ -128,6 +149,7 @@ def make_segmentation_trainer(
 
     else:
         packed_grid = False
+        packed_class = False
 
         def apply_fn(params, batch, train, rng):
             rngs = {"dropout": rng} if (train and rng is not None) else None
@@ -170,7 +192,28 @@ def make_segmentation_trainer(
     def metric_fn(outputs, batch):
         return metric(outputs["probs"], batch["label"])
 
-    if packed_grid:
+    if packed_class:
+        # CLASS-major packed outputs: the loss/metric are the slice-form
+        # twins (losses/packed_class.py) on the packed logits + packed
+        # delta-major labels — no (..., K) minor dim in the loss graph.
+        from tpuseg.models.unet_packed import space_to_depth_labels
+        from tpuseg.losses import packed_class as pc
+
+        pc_metric = (
+            pc.multiclass_dice_coeff if accuracy_name == "dice"
+            else pc.multiclass_iou_coeff
+        )
+
+        def loss_fn(outputs, batch):  # noqa: F811
+            lb8 = space_to_depth_labels(batch["label"])
+            return packed_loss_fn(outputs["logits"], lb8)
+
+        def metric_fn(outputs, batch):  # noqa: F811
+            lb8 = space_to_depth_labels(batch["label"])
+            return pc_metric(outputs["probs"], lb8,
+                             num_classes=num_classes)
+
+    elif packed_grid:
         # packed outputs (N, d, h, w, 8K): pair every voxel with its label
         # by merging (w, delta) — both sides use the same delta-major
         # order (models/unet_packed.py space_to_depth_labels), so each

@@ -275,3 +275,103 @@ def test_int8_packed_inference_close_to_bf16(setup):
     assert agree.mean() > 0.97, agree.mean()
     # flag restored
     assert not vp.USE_INT8_PACKED
+
+
+# ---------------------------------------------------------------------------
+# shift-stack packed k3 (packed_k3_conv USE_SHIFT_PACKED_K3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("axes", [
+    (True, True, True), (False, True, True), (True, False, True),
+])
+def test_packed_k3_conv_shift_matches_dense(axes, monkeypatch):
+    """The shift-stack k2 execution equals the dense coarse k3 on random
+    packed inputs (the structural zeros it removes contribute nothing)."""
+    rng = np.random.default_rng(3)
+    c = 3
+    p = 2 ** sum(axes)
+    x = jnp.asarray(rng.normal(size=(2, 5, 4, 6, p * c)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, c, c)).astype(np.float32))
+
+    monkeypatch.setattr(vnet_packed, "USE_SHIFT_PACKED_K3", False)
+    want = vnet_packed.packed_k3_conv((x,), w, axes)
+    monkeypatch.setattr(vnet_packed, "USE_SHIFT_PACKED_K3", True)
+    got = vnet_packed.packed_k3_conv((x,), w, axes)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_packed_k3_conv_shift_concat_perm(monkeypatch):
+    """Concat-input form (decoder blocks): per-part shift + permuted
+    kernel rows equals the dense path with the same permutation."""
+    from tpuseg.models.unet_packed import _concat_perm
+
+    rng = np.random.default_rng(4)
+    f = 2
+    axes = (True, True, True)
+    up = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 8 * f)).astype(np.float32))
+    sk = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 8 * f)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 2 * f, f)).astype(np.float32))
+    perm = jnp.asarray(_concat_perm(f))
+
+    monkeypatch.setattr(vnet_packed, "USE_SHIFT_PACKED_K3", False)
+    want = vnet_packed.packed_k3_conv((up, sk), w, axes, in_perm=perm)
+    monkeypatch.setattr(vnet_packed, "USE_SHIFT_PACKED_K3", True)
+    got = vnet_packed.packed_k3_conv((up, sk), w, axes, in_perm=perm)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("levels", [1, 2])
+def test_packed_vnet_exact_shift_form(setup, levels, monkeypatch):
+    """Whole packed VNet forward with the shift-stack convs enabled still
+    matches the plain flax model."""
+    x, params, probs_ref = setup
+    monkeypatch.setattr(vnet_packed, "USE_SHIFT_PACKED_K3", True)
+    probs = np.asarray(
+        vnet_packed.packed_vnet3d_probs(params, x, packed_levels=levels)
+    )
+    np.testing.assert_allclose(probs, probs_ref, atol=1e-4)
+
+
+def test_packed_unet_exact_shift_form(monkeypatch):
+    """Packed UNet forward (encoder/decoder/concat k3 sites) with the
+    shift-stack convs enabled matches the plain flax model."""
+    from tpuseg.models.unet import UNet
+    from tpuseg.models.unet_packed import packed_unet3d_apply
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)).astype(np.float32))
+    model = UNet(ndim=3, num_classes=3, features=16, dropout=0.0)
+    params = model.init(jax.random.key(2), x)
+    _, probs_ref = model.apply(params, x)
+
+    monkeypatch.setattr(vnet_packed, "USE_SHIFT_PACKED_K3", True)
+    _, probs = packed_unet3d_apply(params, x, num_classes=3)
+    np.testing.assert_allclose(
+        np.asarray(probs), np.asarray(probs_ref), atol=1e-4
+    )
+
+
+def test_shift_form_grads_match_dense(monkeypatch):
+    """Gradients through the shift-stack form match the dense coarse-k3
+    form (both map to the PLAIN param tree via linear transforms)."""
+    rng = np.random.default_rng(6)
+    c = 2
+    axes = (True, True, True)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 8 * c)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, c, c)).astype(np.float32))
+
+    def loss(wf, shift):
+        monkeypatch.setattr(vnet_packed, "USE_SHIFT_PACKED_K3", shift)
+        y = vnet_packed.packed_k3_conv((x,), wf, axes)
+        return jnp.sum(y ** 2)
+
+    g_dense = jax.grad(lambda wf: loss(wf, False))(w)
+    g_shift = jax.grad(lambda wf: loss(wf, True))(w)
+    np.testing.assert_allclose(
+        np.asarray(g_shift), np.asarray(g_dense), rtol=1e-4, atol=1e-5
+    )

@@ -42,9 +42,9 @@ from tpuseg.models.vnet_packed import (
     gn_fine,
     gn_packed,
     pack_head_1x1,
-    pack_k3_to_k3_coarse,
     pack_k3_to_k4s2,
     pack_transpose_k2s2_to_1x1,
+    packed_k3_conv,
     packed_softmax,
     tile_channel_packed,
 )
@@ -87,14 +87,14 @@ def _convblock_packed(x, p, rate, rngs, first_fine_input: bool):
         x = _conv(x, pack_k3_to_k4s2(w0), strides=(2, 2, 2),
                   padding=[(1, 2)] * 3)
     else:
-        x = _conv(x, pack_k3_to_k3_coarse(w0), padding="SAME")
+        x = packed_k3_conv((x,), w0, (True, True, True))
     g = p["GroupNorm_0"]
     x = gn_packed(x, g["scale"], g["bias"])
     x = _channel_dropout(x, rate, rngs[0], tile=8)
     x = jax.nn.relu(x)
 
     w1 = p["ConvND_1"]["Conv_0"]["kernel"]
-    x = _conv(x, pack_k3_to_k3_coarse(w1), padding="SAME")
+    x = packed_k3_conv((x,), w1, (True, True, True))
     g = p["GroupNorm_1"]
     x = gn_packed(x, g["scale"], g["bias"])
     x = _channel_dropout(x, rate, rngs[1], tile=8)
@@ -106,16 +106,17 @@ def _convblock_packed_concat(up_p, skip_p, p, rate, rngs, f: int):
     (each 8f channels): the first k3 conv's packed weight rows are
     permuted from (delta, c)-order to the concat layout at trace time."""
     w0 = p["ConvND_0"]["Conv_0"]["kernel"]  # (3,3,3, 2f, f)
-    w3 = pack_k3_to_k3_coarse(w0)  # (3,3,3, 16f, 8f), rows (delta, c)
-    w3 = jnp.take(w3, jnp.asarray(_concat_perm(f)), axis=3)
-    x = _conv(jnp.concatenate([up_p, skip_p], axis=-1), w3, padding="SAME")
+    x = packed_k3_conv(
+        (up_p, skip_p), w0, (True, True, True),
+        in_perm=jnp.asarray(_concat_perm(f)),
+    )
     g = p["GroupNorm_0"]
     x = gn_packed(x, g["scale"], g["bias"])
     x = _channel_dropout(x, rate, rngs[0], tile=8)
     x = jax.nn.relu(x)
 
     w1 = p["ConvND_1"]["Conv_0"]["kernel"]
-    x = _conv(x, pack_k3_to_k3_coarse(w1), padding="SAME")
+    x = packed_k3_conv((x,), w1, (True, True, True))
     g = p["GroupNorm_1"]
     x = gn_packed(x, g["scale"], g["bias"])
     x = _channel_dropout(x, rate, rngs[1], tile=8)

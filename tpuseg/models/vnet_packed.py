@@ -428,7 +428,7 @@ def _luconv_packed(x, p, rate=0.0, rng=None, axes=(True, True, True)):
     per-axis-packed grid."""
     pk = 2 ** sum(axes)
     w = p["ConvND_0"]["Conv_0"]
-    y = _conv(x, pack_k3_axes(w["kernel"], axes), padding="SAME")
+    y = packed_k3_conv((x,), w["kernel"], axes)
     y = y + tile_channel_packed(w["bias"], pk).astype(x.dtype)
     y = gn_packed(y, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"],
                   p=pk)
@@ -486,6 +486,100 @@ def pack_k3_to_k3_coarse(w):
     dense): W3[u,(delta',c),(delta,f)] = W[t,c,f] where t = 2(u-1) +
     delta' - delta lands in [0,3)."""
     return pack_k3_axes(w, (True, True, True))
+
+
+# ---------------------------------------------------------------------------
+# shift-stack execution of the packed k3: the same conv as pack_k3_axes but
+# with the structural zeros removed at the XLA level.  Per packed axis, the
+# 3-tap 1/2-dense coarse window collapses to a 2-tap 3/4-dense window once
+# each input-delta channel group is shifted by its own delta: X'_din[Q] =
+# x_din[Q - din] (a (din, 1-din) zero-pad, extent D+1), and
+# y[P] = sum_v X'[P+v] W2[v] with W2[v,din,dout,t]: t = 2v - din - dout + 1
+# in [0,3).  MAC cut: full8 1728 -> 512 CF (3.375x), part4 432 -> 192 CF
+# (2.25x); every contraction stays a dense (2^n_packed * P*C)-deep GEMM with
+# 128 channels on the lanes (the measured 118.7 TF/s k2 regime) instead of a
+# dense coarse k3 that spends 3.375x the MACs on structural zeros (the
+# 16.1 ms LUConv96 unit in the r4 fwd27 profile).
+# ---------------------------------------------------------------------------
+
+
+def _axis_select_shift():
+    """A2[v, din, dout, t] = 1 iff t = 2v - din - dout + 1 in [0,3) — the
+    2-tap window of the shifted input (u = v - din + 1 vs _axis_select_packed)."""
+    a = np.zeros((2, 2, 2, 3), np.float32)
+    for v in range(2):
+        for din in range(2):
+            for dout in range(2):
+                t = 2 * v - din - dout + 1
+                if 0 <= t < 3:
+                    a[v, din, dout, t] = 1.0
+    return a
+
+
+_AXIS_SHIFT = _axis_select_shift()
+
+
+def pack_k3_axes_shift(w, axes):
+    """(3,3,3,C,F) fine k3 -> the shift-stack kernel: size 2 on packed
+    axes, 3 on fine axes; channels (P*C, P*F) delta-major like
+    pack_k3_axes.  Consumes shift_stack(x, axes) with VALID padding on
+    packed axes, SAME on fine axes."""
+    sel = [_AXIS_SHIFT if p else _AXIS_FINE for p in axes]
+    a0, a1, a2 = (jnp.asarray(s, w.dtype) for s in sel)
+    c, f = w.shape[-2:]
+    w2 = jnp.einsum("aAdt,bBeu,cCgv,tuvxy->abcABCxdegy", a0, a1, a2, w)
+    p = int(np.prod([s.shape[1] for s in sel]))
+    ks = tuple(s.shape[0] for s in sel)
+    return w2.reshape(*ks, p * c, p * f)
+
+
+def shift_stack(x, axes):
+    """(N, D, H, W, P*C) delta-major packed -> the per-delta shifted stack:
+    channel group din gets a (din, 1-din) zero-pad on each packed axis
+    (extent +1); fine axes untouched."""
+    packed = [i for i, a in enumerate(axes) if a]
+    p = 2 ** len(packed)
+    c = x.shape[-1] // p
+    parts = []
+    for dflat in range(p):
+        digits = []
+        r = dflat
+        for _ in packed:
+            digits.append(r % 2)
+            r //= 2
+        digits = digits[::-1]  # major-to-minor == packed-axis order
+        pad = [(0, 0)] * x.ndim
+        for ax_i, din in zip(packed, digits):
+            pad[1 + ax_i] = (din, 1 - din)
+        parts.append(jnp.pad(x[..., dflat * c:(dflat + 1) * c], pad))
+    return jnp.concatenate(parts, axis=-1)
+
+
+# Execute packed k3 convs via the shift-stack form (measured on chip —
+# see BASELINE.md round-4 ledger) instead of the dense coarse k3.
+USE_SHIFT_PACKED_K3 = False
+
+
+def packed_k3_conv(parts, w_fine, axes, in_perm=None):
+    """The packed k3 conv on `parts` (a tuple of delta-major packed
+    tensors, channel-concatenated): dense coarse k3 or the shift-stack
+    k2 form, by flag.  `in_perm` (optional) permutes the kernel's input
+    rows from (delta, c)-major order onto the concat channel layout —
+    the same permutation serves both forms (both emit delta-major rows).
+    """
+    if USE_SHIFT_PACKED_K3:
+        w2 = pack_k3_axes_shift(w_fine, axes)
+        if in_perm is not None:
+            w2 = jnp.take(w2, in_perm, axis=3)
+        xs = [shift_stack(t, axes) for t in parts]
+        xs = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
+        padding = [(0, 0) if a else (1, 1) for a in axes]
+        return _conv(xs, w2, padding=padding)
+    w3 = pack_k3_axes(w_fine, axes)
+    if in_perm is not None:
+        w3 = jnp.take(w3, in_perm, axis=3)
+    x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+    return _conv(x, w3, padding="SAME")
 
 
 def depth_to_space3d(x):
@@ -785,7 +879,7 @@ def packed_vnet3d_apply(params, x, *, num_classes=2, features=16,
     plu = put["LUConv_0"]
     wl = plu["ConvND_0"]["Conv_0"]
     if LUCONV96_MODE == "k3dense":
-        lu = _conv(catp, pack_k3_to_k3_coarse(wl["kernel"]), padding="SAME")
+        lu = packed_k3_conv((catp,), wl["kernel"], (True, True, True))
     else:  # d2s + k4s2
         cat_fine = depth_to_space3d(catp)
         lu = _conv(cat_fine, pack_k3_to_k4s2(wl["kernel"]), strides=(2, 2, 2),

@@ -536,23 +536,35 @@ def pack_k3_axes_shift(w, axes):
 def shift_stack(x, axes):
     """(N, D, H, W, P*C) delta-major packed -> the per-delta shifted stack:
     channel group din gets a (din, 1-din) zero-pad on each packed axis
-    (extent +1); fine axes untouched."""
+    (extent +1); fine axes untouched.
+
+    Executed as one pad+select pass per packed axis — each pass is a
+    full-lane-width elementwise kernel (two pads of the whole tensor
+    combined by a static channel mask), which XLA fuses into a single
+    read+write of the array.  Measured at the LUConv96 shape
+    (benchmarks/shift_decomp_probe.py): the v1 form (per-group
+    16-channel slice -> pad -> concat) ran 51.7 ms/iter (~25x off HBM
+    bandwidth: every op a sub-lane-width copy); a whole-tensor
+    pad-once + 8 slices + select chain 27.5 ms (slices of the shared
+    padded array materialize as copies); this per-axis form 9.45 ms
+    (three materializations) and fuses with the consuming conv to a
+    13.56 ms unit vs 16.1 ms dense."""
     packed = [i for i, a in enumerate(axes) if a]
-    p = 2 ** len(packed)
+    n = len(packed)
+    p = 2 ** n
     c = x.shape[-1] // p
-    parts = []
-    for dflat in range(p):
-        digits = []
-        r = dflat
-        for _ in packed:
-            digits.append(r % 2)
-            r //= 2
-        digits = digits[::-1]  # major-to-minor == packed-axis order
-        pad = [(0, 0)] * x.ndim
-        for ax_i, din in zip(packed, digits):
-            pad[1 + ax_i] = (din, 1 - din)
-        parts.append(jnp.pad(x[..., dflat * c:(dflat + 1) * c], pad))
-    return jnp.concatenate(parts, axis=-1)
+    group = np.arange(x.shape[-1]) // c  # delta-major group id per channel
+    out = x
+    for j, ax_i in enumerate(packed):
+        # packed-axis j holds bit (n-1-j) of the delta-major group id
+        digit = (group >> (n - 1 - j)) & 1
+        pad0 = [(0, 0)] * x.ndim
+        pad0[1 + ax_i] = (0, 1)
+        pad1 = [(0, 0)] * x.ndim
+        pad1[1 + ax_i] = (1, 0)
+        out = jnp.where(jnp.asarray(digit == 1),
+                        jnp.pad(out, pad1), jnp.pad(out, pad0))
+    return out
 
 
 # Execute packed k3 convs via the shift-stack form (measured on chip —

@@ -5,6 +5,7 @@ Run on the TPU with an idle host:
   PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/packed_train_step_probe.py
 """
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpuseg")
@@ -20,7 +21,7 @@ from tpuseg.tasks.trainer import TrainerConfig
 TRAIN_SHAPE = (128, 112, 112)
 
 
-def build(packed, grid=False, cls=False):
+def build(packed, grid=False, cls=False, dtype="float32"):
     # loss-domain flags (tasks/segmentation.py): grid = delta-major
     # packed-grid loss, cls = class-major slice-form loss
     # (losses/packed_class.py); both off = fine-domain loss (d2s pair in
@@ -36,7 +37,8 @@ def build(packed, grid=False, cls=False):
         num_classes=5,
         loss_name="MutilDiceLoss",
         alpha=[1.0] * 5,
-        config=TrainerConfig(epochs=1, lr=1e-3, optimizer="adam"),
+        config=TrainerConfig(epochs=1, lr=1e-3, optimizer="adam",
+                             compute_dtype=jnp.dtype(dtype)),
         packed_stem=packed,
     )
     tr._build_steps()
@@ -51,13 +53,20 @@ def main():
         "label": rng.integers(0, 5, size=(1, *TRAIN_SHAPE)).astype(np.int32),
     }
     runners = {}
-    for name, packed, grid, cls in (
-        ("plain", False, False, False),
-        ("packed_fineloss", True, False, False),  # r4 default
-        ("packed_gridloss", True, True, False),   # delta-major grid loss
-        ("packed_classloss", True, False, True),  # class-major slice loss
-    ):
-        tr = build(packed, grid, cls)
+    variants = (
+        ("plain", False, False, False, "float32"),
+        ("packed_fineloss", True, False, False, "float32"),  # r4 default
+        ("packed_gridloss", True, True, False, "float32"),   # delta-major grid loss
+        ("packed_classloss", True, False, True, "float32"),  # class-major slice loss
+        ("packed_bf16", True, False, False, "bfloat16"),     # mixed precision
+        ("packed_bf16_grid", True, True, False, "bfloat16"), # bf16 + grid loss
+        ("packed_bf16_cls", True, False, True, "bfloat16"),  # bf16 + class loss
+    )
+    if len(sys.argv) > 1:  # e.g. "plain,packed_fineloss,packed_bf16"
+        keep = set(sys.argv[1].split(","))
+        variants = tuple(v for v in variants if v[0] in keep)
+    for name, packed, grid, cls, dtype in variants:
+        tr = build(packed, grid, cls, dtype)
         dev_batch = tr._put(batch)
         state, m = tr._train_step(tr.state, dev_batch)
         loss0 = float(m["loss"])
@@ -82,9 +91,10 @@ def main():
     for k, v in ts.items():
         print(f"{k}: {min(v)/10*1e3:.1f} ms/step (min)  "
               f"{np.median(v)/10*1e3:.1f} ms/step (median)")
-    best = min(min(ts[k]) for k in ts if k != "plain")
-    print(f"speedup (min, best packed variant): "
-          f"{min(ts['plain'])/best:.2f}x")
+    if "plain" in ts and len(ts) > 1:
+        best = min(min(ts[k]) for k in ts if k != "plain")
+        print(f"speedup (min, best packed variant): "
+              f"{min(ts['plain'])/best:.2f}x")
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@ import os
 import sys
 
 import numpy as np
+import jax.numpy as jnp
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -70,6 +71,7 @@ def main(argv=None):
             epochs=cfg.train.epochs, lr=cfg.train.lr, optimizer=cfg.train.optimizer,
             grad_clip=cfg.train.grad_clip,
             early_stop_patience=cfg.train.early_stop_patience,
+            compute_dtype=jnp.dtype(cfg.train.compute_dtype),
         ),
         mesh=mesh,
         viz_fn=make_seg_viz(cfg.model.num_classes, ndim),

@@ -70,6 +70,17 @@ class TrainConfig:
     #                                 batch*channel lane deficit).  The
     #                                 trainer factory raises on the combo.
     profile: bool = False           # jax.profiler trace of a few steps
+    compute_dtype: str = "float32"  # "bfloat16": mixed-precision train —
+    #                                 f32 master params/optimizer/loss,
+    #                                 forward+backward in bf16.  Measured
+    #                                 (benchmarks/bf16_packed_train_probe.py,
+    #                                 BASELINE.md round-4 ledger): 1.13x on
+    #                                 the PACKED UNet3d step (the 128-lane
+    #                                 packed layout removes the GN-promotion
+    #                                 converts + backward layout copies that
+    #                                 made fine-domain bf16 training SLOWER,
+    #                                 see "bf16 training" in BASELINE.md).
+    #                                 Loss trajectory tracks f32 to ~2e-4.
 
 
 @dataclass

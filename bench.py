@@ -380,7 +380,19 @@ def main():
     }
     steps = 10
     train_passes = {}
-    for variant, packed in (("packed", True), ("plain", False)):
+    # headline = packed + bf16 mixed precision (f32 master params/opt/loss,
+    # bf16 fwd+bwd): measured 57.2 vs 65.7 ms/step and trained-net quality
+    # gated — 25-epoch blobs run, best-checkpoint dice f32 0.79189 vs bf16
+    # 0.79780, trajectories track <=4e-3 pre-noise (BASELINE.md r4 ledger,
+    # benchmarks/bf16_train_quality_probe.py).  f32 variants reported
+    # alongside; the reference itself trains plain f32 (no autocast).
+    import jax.numpy as _jnp
+
+    for variant, packed, cdt in (
+        ("packed_bf16", True, _jnp.bfloat16),
+        ("packed", True, _jnp.float32),
+        ("plain", False, _jnp.float32),
+    ):
         unet = UNet(ndim=3, num_classes=5, features=16, dropout=0.2)
         trainer = make_segmentation_trainer(
             unet,
@@ -388,7 +400,8 @@ def main():
             num_classes=5,
             loss_name="MutilDiceLoss",
             alpha=[1.0] * 5,
-            config=TrainerConfig(epochs=1, lr=1e-3, optimizer="adam"),
+            config=TrainerConfig(epochs=1, lr=1e-3, optimizer="adam",
+                                 compute_dtype=cdt),
             packed_stem=packed,
         )
         trainer._build_steps()
@@ -407,7 +420,8 @@ def main():
         train_passes[variant] = train_pass
 
     train_min, _train_med = interleaved_times(train_passes, 3)
-    train_steps_per_sec = steps / train_min["packed"]
+    train_steps_per_sec = steps / train_min["packed_bf16"]
+    train_steps_per_sec_f32 = steps / train_min["packed"]
     train_steps_per_sec_plain = steps / train_min["plain"]
     # modeled A100 train step (assumptions in the module docstring):
     # fwd+bwd = 3x fwd FLOPs at 6 TF/s effective + 10 ms host overhead
@@ -470,11 +484,19 @@ def main():
                     "unet3d_train_steps_per_sec_112x112x128_bs1": round(
                         train_steps_per_sec, 4
                     ),
+                    "train_compute_dtype": "bfloat16 mixed (f32 master; "
+                    "quality-gated, BASELINE.md r4)",
+                    "unet3d_train_steps_per_sec_f32": round(
+                        train_steps_per_sec_f32, 4
+                    ),
                     "unet3d_train_steps_per_sec_plain_stem": round(
                         train_steps_per_sec_plain, 4
                     ),
                     "train_vs_baseline": round(
                         train_steps_per_sec / a100_train_steps_per_sec, 3
+                    ),
+                    "train_vs_baseline_f32": round(
+                        train_steps_per_sec_f32 / a100_train_steps_per_sec, 3
                     ),
                     "modeled_a100_train_steps_per_sec": round(
                         a100_train_steps_per_sec, 4

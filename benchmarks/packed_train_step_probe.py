@@ -21,12 +21,15 @@ from tpuseg.tasks.trainer import TrainerConfig
 TRAIN_SHAPE = (128, 112, 112)
 
 
-def build(packed, grid=False, cls=False, dtype="float32"):
+def build(packed, grid=False, cls=False, dtype="float32", lv=1):
     # loss-domain flags (tasks/segmentation.py): grid = delta-major
     # packed-grid loss, cls = class-major slice-form loss
     # (losses/packed_class.py); both off = fine-domain loss (d2s pair in
-    # the train graph).
+    # the train graph).  lv: UNet packed levels (models/unet_packed.py).
+    from tpuseg.models import unet_packed
     from tpuseg.tasks import segmentation
+
+    unet_packed.UNET_PACKED_LEVELS_DEFAULT = lv
 
     segmentation.USE_PACKED_GRID_LOSS = grid
     segmentation.USE_PACKED_CLASS_LOSS = cls
@@ -61,12 +64,14 @@ def main():
         ("packed_bf16", True, False, False, "bfloat16"),     # mixed precision
         ("packed_bf16_grid", True, True, False, "bfloat16"), # bf16 + grid loss
         ("packed_bf16_cls", True, False, True, "bfloat16"),  # bf16 + class loss
+        ("packed_lv2", True, False, False, "float32", 2),    # 2 packed levels
+        ("packed_bf16_lv2", True, False, False, "bfloat16", 2),
     )
     if len(sys.argv) > 1:  # e.g. "plain,packed_fineloss,packed_bf16"
         keep = set(sys.argv[1].split(","))
         variants = tuple(v for v in variants if v[0] in keep)
-    for name, packed, grid, cls, dtype in variants:
-        tr = build(packed, grid, cls, dtype)
+    for name, packed, grid, cls, dtype, *rest in variants:
+        tr = build(packed, grid, cls, dtype, lv=(rest[0] if rest else 1))
         dev_batch = tr._put(batch)
         state, m = tr._train_step(tr.state, dev_batch)
         loss0 = float(m["loss"])

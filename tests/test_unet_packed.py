@@ -259,3 +259,59 @@ def test_trainer_bf16_compute_dtype_tracks_f32():
     np.testing.assert_allclose(
         losses[jnp.bfloat16], losses[jnp.float32], atol=5e-3
     )
+
+
+def test_forward_exact_packed_levels2(setup):
+    """packed_levels=2: level-1 also executes packed (encoder fine->packed
+    k4s2 entry, packed decoder block, depth-to-space hand-off) — exact vs
+    the plain model, including the packed-grid return layouts."""
+    model, params, x = setup
+    lg, pr = model.apply(params, x)
+    lg2, pr2 = packed_unet3d_apply(params, x, num_classes=K, packed_levels=2)
+    np.testing.assert_allclose(lg2, lg, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(pr2, pr, rtol=1e-4, atol=1e-5)
+    # packed return stays consistent between levels settings
+    lp1, _ = packed_unet3d_apply(params, x, num_classes=K, packed_levels=1,
+                                 return_packed=True)
+    lp2, _ = packed_unet3d_apply(params, x, num_classes=K, packed_levels=2,
+                                 return_packed=True)
+    np.testing.assert_allclose(lp2, lp1, rtol=1e-4, atol=1e-4)
+
+
+def test_grads_exact_packed_levels2(setup):
+    """f64 grad parity for packed_levels=2 (same rationale as
+    test_grads_exact)."""
+    model, params, x = setup
+    jax.config.update("jax_enable_x64", True)
+    try:
+        to64 = lambda t: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a), jnp.float64), t
+        )
+        params64, x64 = to64(params), jnp.asarray(np.asarray(x), jnp.float64)
+        cot = jnp.asarray(
+            np.random.default_rng(2).normal(size=(2, *SHAPE, K)), jnp.float64
+        )
+
+        def loss_plain(p):
+            lg, pr = model.apply(p, x64)
+            return jnp.sum(lg * cot) + jnp.sum(pr * pr)
+
+        def loss_packed(p):
+            lg, pr = packed_unet3d_apply(p, x64, num_classes=K,
+                                         packed_levels=2)
+            return jnp.sum(lg * cot) + jnp.sum(pr * pr)
+
+        v1, g1 = jax.value_and_grad(loss_plain)(params64)
+        v2, g2 = jax.value_and_grad(loss_packed)(params64)
+        assert abs(v1 - v2) / abs(v1) < 1e-10
+        flat1 = jax.tree_util.tree_leaves_with_path(g1)
+        flat2 = {jax.tree_util.keystr(k): v
+                 for k, v in jax.tree_util.tree_leaves_with_path(g2)}
+        for k, a in flat1:
+            b = flat2[jax.tree_util.keystr(k)]
+            np.testing.assert_allclose(
+                b, a, rtol=1e-7, atol=1e-7,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}",
+            )
+    finally:
+        jax.config.update("jax_enable_x64", False)

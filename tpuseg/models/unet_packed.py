@@ -133,12 +133,23 @@ def _head_packed(x, p, num_classes: int, f: int, layout: str = "delta"):
     return logits + bp.astype(x.dtype)
 
 
+# How many U-levels execute packed (1 = finest only; 2 also packs the
+# level-1 encoder/decoder blocks as packed-of-(D/2) with 8*2f channels —
+# NO new weight transforms: the encoder entry reuses the fine->packed
+# k4s2 form on the pooled fine tensor, the decoder entry reuses the
+# transpose->1x1 form, and the level-0 up-transition consumes a
+# depth-to-space of the packed level-1 output).  Default chosen by
+# measurement (BASELINE.md round-4 ledger).
+UNET_PACKED_LEVELS_DEFAULT = 1
+
+
 def packed_unet3d_apply(params, x, *, num_classes: int, features: int = 16,
                         levels: int = 4, dropout: float = 0.2,
                         train: bool = False, rng=None,
                         return_packed: bool = False,
-                        packed_layout: str = "delta"):
-    """Exact UNet(ndim=3) forward with level 0 executed packed.
+                        packed_layout: str = "delta",
+                        packed_levels: int | None = None):
+    """Exact UNet(ndim=3) forward with the finest level(s) executed packed.
 
     `params`: the PLAIN UNet(ndim=3) param pytree (models/unet.py).
     `x`: (N, D, H, W, Cin), D/H/W divisible by 2**levels.  Returns
@@ -151,6 +162,9 @@ def packed_unet3d_apply(params, x, *, num_classes: int, features: int = 16,
     `modelUnet.py:879` (trainprocess) — behavior matched through the
     plain flax model, see tests/test_unet_packed.py.
     """
+    if packed_levels is None:
+        packed_levels = UNET_PACKED_LEVELS_DEFAULT
+    assert packed_levels in (1, 2) and levels >= 3
     f = features
     rate = dropout if train else 0.0
 
@@ -173,9 +187,21 @@ def packed_unet3d_apply(params, x, *, num_classes: int, features: int = 16,
     n, d2, h2, w2, _ = skip0p.shape
     y = jnp.max(skip0p.reshape(n, d2, h2, w2, 8, f), axis=-2)
 
-    # ---- levels 1..levels-1 + bottleneck, plain ----
+    # ---- level 1 encoder: packed (packed_levels=2) or plain ----
+    skip1p = None
+    if packed_levels >= 2:
+        # y is the fine level-1 input: the block's first k3 conv doubles
+        # as the fine->packed k4s2 entry, exactly like level 0.
+        skip1p = _convblock_packed(
+            y, p["ConvBlock_1"], rate, (take_rng(), take_rng()),
+            first_fine_input=True,
+        )
+        n1, d4, h4, w4, _ = skip1p.shape
+        y = jnp.max(skip1p.reshape(n1, d4, h4, w4, 8, 2 * f), axis=-2)
+
+    # ---- remaining encoder levels + bottleneck, plain ----
     skips = []
-    for lvl in range(1, levels):
+    for lvl in range(packed_levels, levels):
         y = _convblock_fine(
             y, p[f"ConvBlock_{lvl}"], rate, (take_rng(), take_rng())
         )
@@ -188,15 +214,30 @@ def packed_unet3d_apply(params, x, *, num_classes: int, features: int = 16,
         y, p[f"ConvBlock_{levels}"], rate, (take_rng(), take_rng())
     )
 
-    # ---- decoder levels-1..1, plain ----
-    for i, lvl in enumerate(reversed(range(1, levels))):
+    # ---- decoder levels-1..packed_levels, plain ----
+    for i, lvl in enumerate(reversed(range(packed_levels, levels))):
         t = p[f"ConvTransposeND_{i}"]["ConvTranspose_0"]
         y = _conv_t(y, t["kernel"]) + t["bias"].astype(y.dtype)
-        y = jnp.concatenate([y, skips[lvl - 1]], axis=-1)
+        y = jnp.concatenate([y, skips[lvl - packed_levels]], axis=-1)
         y = _convblock_fine(
             y, p[f"ConvBlock_{levels + 1 + i}"], rate,
             (take_rng(), take_rng()),
         )
+
+    # ---- decoder level 1, packed (packed_levels=2) ----
+    if packed_levels >= 2:
+        i1 = levels - 1 - 1  # the transpose/ConvBlock index for level 1
+        t = p[f"ConvTransposeND_{i1}"]["ConvTranspose_0"]
+        upp1 = _conv(y, pack_transpose_k2s2_to_1x1(t["kernel"]),
+                     padding="VALID")
+        upp1 = upp1 + tile_channel_packed(t["bias"]).astype(y.dtype)
+        y = _convblock_packed_concat(
+            upp1, skip1p, p[f"ConvBlock_{levels + 1 + i1}"], rate,
+            (take_rng(), take_rng()), 2 * f,
+        )
+        # packed-of-(D/2) at the D/4 grid -> fine level-1 layout for the
+        # level-0 up-transition (one full-width copy pass)
+        y = depth_to_space3d(y)
 
     # ---- decoder level 0, packed ----
     t = p[f"ConvTransposeND_{levels - 1}"]["ConvTranspose_0"]

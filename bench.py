@@ -103,6 +103,86 @@ def unet3d_fwd_flops(shape=(128, 112, 112), features=16, num_classes=5,
     return total
 
 
+# r2 relay transfer model (benchmarks/pipeline_probe.py, BASELINE.md):
+# ~28 ms fixed per RPC + ~13-21 ms/MB each way.  A window is DEGRADED if
+# the measured per-MB rate sits >30% above the historical fit's top —
+# r4's headline regressed purely on such windows while device-resident
+# exec improved, so the scoreboard must carry window quality (VERDICT r4
+# #3).
+LINK_FIT_MS_PER_MB = 21.0
+LINK_DEGRADED_FACTOR = 1.30
+LINK_FIXED_FIT_MS = 33.0
+
+
+def measure_link():
+    """One calibrated H2D/D2H transfer pair against the recorded relay
+    transfer model.  Returns the stats dict recorded in bench extra."""
+    import jax
+    import jax.numpy as jnp
+
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32).ravel()[:8]))
+
+    small = np.zeros((1024,), np.uint8)
+    big = np.zeros((16 * 1024 * 1024,), np.uint8)  # 16 MB calibration
+    dev_big = jax.device_put(jnp.asarray(big))
+    sync(jnp.asarray(small))  # warm the tiny-sum programs (compile cache)
+    sync(dev_big)
+    np.asarray(dev_big)
+
+    def best(fn, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return float(np.min(ts)) * 1e3  # one-sided interference -> min
+
+    fixed_ms = best(lambda: sync(jnp.asarray(small)))
+    h2d_ms = best(lambda: sync(jnp.asarray(big)))
+    d2h_ms = best(lambda: np.asarray(dev_big))
+    mb = big.nbytes / 1e6
+    h2d_per_mb = max(h2d_ms - fixed_ms, 0.0) / mb
+    d2h_per_mb = max(d2h_ms - fixed_ms, 0.0) / mb
+    bar = LINK_FIT_MS_PER_MB * LINK_DEGRADED_FACTOR
+    healthy = (
+        h2d_per_mb <= bar
+        and d2h_per_mb <= bar
+        and fixed_ms <= 2.0 * LINK_FIXED_FIT_MS
+    )
+    return {
+        "link_fixed_ms": round(fixed_ms, 1),
+        "link_h2d_ms_per_mb": round(h2d_per_mb, 1),
+        "link_d2h_ms_per_mb": round(d2h_per_mb, 1),
+        "window_quality": "healthy" if healthy else "degraded",
+    }
+
+
+def qualify_window(max_wait_s: float = 1500.0):
+    """Measure the relay link; if the window is degraded vs the recorded
+    transfer model, wait (bounded) for a healthy one.  Always returns the
+    last measurement so the emitted line carries the window fields either
+    way."""
+    import sys
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        stats = measure_link()
+        stats["link_probe_attempts"] = attempt
+        if stats["window_quality"] == "healthy" or time.time() >= deadline:
+            return stats
+        print(
+            f"[bench] window degraded (h2d {stats['link_h2d_ms_per_mb']} / "
+            f"d2h {stats['link_d2h_ms_per_mb']} ms/MB vs fit "
+            f"{LINK_FIT_MS_PER_MB}); waiting for a healthy window "
+            f"({int(deadline - time.time())}s left)",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(120)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -115,6 +195,12 @@ def main():
 
     dev = jax.devices()[0]
     platform = dev.platform
+
+    # Self-qualify the measurement window against the recorded relay
+    # transfer model BEFORE the timed phase (waits out a degraded window,
+    # bounded); re-measured after the run so a mid-run degradation is
+    # machine-attributable too.
+    link = qualify_window() if platform != "cpu" else measure_link()
 
     # ---------------- primary: VNet3d sliding-window volumes/sec/chip ----
     PATCH = (96, 96, 96)
@@ -430,6 +516,8 @@ def main():
         3.0 * train_fwd_flops / a100_effective_flops + 0.010
     )
 
+    link_end = measure_link()
+
     _emit(
             {
                 "metric": "VNet3d sliding-window inference (160x160x192 integer-HU vol, 96^3 patches, 50% overlap, bf16 compute, lossless uint8 HU-coded upload)",
@@ -438,6 +526,10 @@ def main():
                 "vs_baseline": round(vols_per_sec / baseline_vols_per_sec, 3),
                 "extra": {
                     "platform": platform,
+                    **link,
+                    "link_end_h2d_ms_per_mb": link_end["link_h2d_ms_per_mb"],
+                    "link_end_d2h_ms_per_mb": link_end["link_d2h_ms_per_mb"],
+                    "window_quality_end": link_end["window_quality"],
                     "timing": "min over 7 interleaved reps (pool interference is one-sided); median of this run in median_vols_per_sec",
                     "median_vols_per_sec": round(vols_per_sec_median, 4),
                     "uint8_coded_voxel_agreement_vs_f32_upload": round(

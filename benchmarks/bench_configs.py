@@ -261,7 +261,7 @@ def config3(tmp):
     finally:
         m.packed_inference = prev
     assert not got_plain and got_packed, (got_plain, got_packed)
-    d_plain, d_packed, agree = [], [], []
+    d_plain, d_packed, agree, plain_masks = [], [], [], []
     for v_, g_ in zip(vv, vm):
         mk_pl = sliding_window_inference(
             v_, shape, fn_plain, 1, 4, overlap=0.5, return_mask=True)
@@ -271,11 +271,38 @@ def config3(tmp):
         d_plain.append(dice_of(mk_pl, g_))
         d_packed.append(dice_of(mk_pk, g_))
         agree.append(float((mk_pl == mk_pk).mean()))
+        plain_masks.append(mk_pl)
     out["trained_dice_plain_f32"] = float(np.mean(d_plain))
     out["trained_dice_packed_f32"] = float(np.mean(d_packed))
     out["trained_dice_packed_minus_plain"] = float(
         np.mean(d_packed) - np.mean(d_plain))
     out["trained_packed_vs_plain_voxel_agreement"] = float(np.mean(agree))
+
+    # bf16-compute packed class-major variant at batch 27 — the exact
+    # compute path bench.py times (VERDICT r4 #2: quality evidence must
+    # match the measured path)
+    from tpuseg.models.unet_packed import packed_unet3d_apply
+
+    def fn_packed_bf16(x):
+        _, probs = packed_unet3d_apply(
+            params_bf, x.astype(jnp.bfloat16), num_classes=1,
+            features=m.model.features, levels=m.model.levels,
+            return_packed=True, packed_layout="class",
+        )
+        return probs.astype(jnp.float32)
+
+    d_pk16, agree16 = [], []
+    for v_, g_, mk_pl in zip(vv, vm, plain_masks):
+        mk = sliding_window_inference(
+            v_, shape, fn_packed_bf16, 1, 27, overlap=0.5, return_mask=True,
+            packed_apply=True, packed_layout="class")
+        d_pk16.append(dice_of(mk, g_))
+        agree16.append(float((mk == mk_pl).mean()))
+    out["trained_dice_packed_bf16"] = float(np.mean(d_pk16))
+    out["trained_dice_packed_bf16_minus_plain_f32"] = float(
+        np.mean(d_pk16) - np.mean(d_plain))
+    out["trained_packed_bf16_vs_plain_f32_voxel_agreement"] = float(
+        np.mean(agree16))
     emit(3, val_dice=float(hist["valdation_accuracy"][-1]), epochs=10,
          train_steps_per_sec=10 * (len(imgs) // 2) / wall, **out)
 

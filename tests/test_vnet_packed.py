@@ -119,6 +119,34 @@ def test_fold_merge_matches_scan_packed(setup, layout):
     np.testing.assert_allclose(p_fold, p_scan, atol=2e-5)
 
 
+def test_axis_lists_rejects_partial_coverage():
+    """_axis_lists only offers the fold-merge for Cartesian grids that
+    fully cover [0, size) on every axis — a caller-supplied partial grid
+    must fall back to the scan merge (the overlap-add would trace-error
+    on an uncovered segment)."""
+    from tpuseg.infer.sliding_window import _axis_lists, grid_positions
+
+    vol, patch = (64, 32, 32), (32, 32, 32)
+    full = grid_positions(vol, patch, 0.5)
+    assert _axis_lists(full, vol, patch) is not None
+    # missing the d=32 row: [32, 64) uncovered
+    partial = full[full[:, 0] != 32]
+    assert _axis_lists(partial, vol, patch) is None
+    # gap wider than the window: starts {0, 34}, win 32, size 66 leaves
+    # [32, 34) uncovered
+    import numpy as _np
+
+    gappy = _np.asarray(
+        [[d, h, w] for d in (0, 34) for h in (0,) for w in (0,)], _np.int32
+    )
+    assert _axis_lists(gappy, (66, 32, 32), patch) is None
+    # non-Cartesian grid rejected as before
+    non_cart = full[:-1]
+    assert _axis_lists(non_cart, vol, patch) is None
+    # without shape info (legacy call) Cartesian structure still accepted
+    assert _axis_lists(full) is not None
+
+
 @pytest.mark.parametrize("num_classes", [1, 2, 5])
 def test_class_major_head_matches_delta(num_classes):
     """pack_head_1x1/packed_softmax/packed_argmax class-major results are

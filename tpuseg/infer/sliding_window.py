@@ -47,11 +47,15 @@ def grid_positions(vol_shape: Sequence[int], patch: Sequence[int], overlap: floa
     return grid.astype(np.int32)
 
 
-def _axis_lists(positions):
+def _axis_lists(positions, vol_dhw=None, patch_dhw=None):
     """If the (n, 3) position grid is the row-major Cartesian product of
-    per-axis start lists, return those lists; else None.  grid_positions
-    always produces this structure (meshgrid ij), so the fold-merge below
-    applies to every internally-generated grid."""
+    per-axis start lists AND (when vol/patch shapes are given) the windows
+    fully cover [0, size) on every axis, return those lists; else None.
+    grid_positions always produces a covering Cartesian grid, so the
+    fold-merge below applies to every internally-generated grid; a
+    caller-supplied partial grid falls back to the scan merge
+    (_overlap_add_1d indexes terms[0] and would trace-error on an
+    uncovered segment)."""
     pos = np.asarray(positions)
     lists = [np.unique(pos[:, a]) for a in range(3)]
     if int(np.prod([len(l) for l in lists])) != pos.shape[0]:
@@ -59,7 +63,15 @@ def _axis_lists(positions):
     expect = np.stack(
         np.meshgrid(*lists, indexing="ij"), axis=-1
     ).reshape(-1, 3)
-    return [l.tolist() for l in lists] if (expect == pos).all() else None
+    if not (expect == pos).all():
+        return None
+    if vol_dhw is not None and patch_dhw is not None:
+        for starts, size, win in zip(lists, vol_dhw, patch_dhw):
+            if starts[0] != 0 or starts[-1] + win < size:
+                return None
+            if len(starts) > 1 and int(np.max(np.diff(starts))) > win:
+                return None
+    return [l.tolist() for l in lists]
 
 
 def _overlap_add_1d(arrs, starts, size, axis):
@@ -203,7 +215,10 @@ def _sliding_window_jit(
     # slices instead of a scan of dynamic-update-slices: the r4 merge
     # profile measured the 27-patch scatter at ~16 ms (~30x the traffic
     # floor); the fold is plain slice/add/concat that XLA fuses.
-    fold_lists = _axis_lists(pos_static) if n_batches == 1 else None
+    fold_lists = (
+        _axis_lists(pos_static, volume.shape[:3], patch)
+        if n_batches == 1 else None
+    )
     if fold_lists is not None:
         patches = jax.vmap(extract)(pad_pos)
         probs_all = apply_fn(patches)[:n_pos].astype(jnp.float32)

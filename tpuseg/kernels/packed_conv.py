@@ -129,15 +129,17 @@ def _kernel(x_hbm, wk_ref, bias_ref, out_ref, planes, z_ref, sems,
             z_ref[:, :, k_total:] = jnp.zeros_like(z_ref[:, :, k_total:])
 
     # batch start: fetch planes 0 and 1, zero the "prev" slot interior
+    # (plane index clamped so d_size==1 doesn't read out of bounds)
     @pl.when(d == 0)
     def _():
+        nxt = jnp.minimum(1, d_size - 1)
         dma(0, 0).start()
-        dma(1, 1).start()
+        dma(nxt, 1).start()
         planes[3, 1:h + 1, 1:w + 1, :] = jnp.zeros(
             (h, w, c8), planes.dtype
         )
         dma(0, 0).wait()
-        dma(1, 1).wait()
+        dma(nxt, 1).wait()
 
     # steady state: wait the prefetch issued last step for plane d+1
     @pl.when(d > 0)

@@ -164,7 +164,13 @@ def packed_unet3d_apply(params, x, *, num_classes: int, features: int = 16,
     """
     if packed_levels is None:
         packed_levels = UNET_PACKED_LEVELS_DEFAULT
-    assert packed_levels in (1, 2) and levels >= 3
+    if packed_levels not in (1, 2):
+        raise ValueError(f"packed_levels must be 1 or 2, got {packed_levels}")
+    if levels <= packed_levels:
+        raise ValueError(
+            f"packed execution needs at least one plain level below the "
+            f"packed ones (levels={levels} <= packed_levels={packed_levels})"
+        )
     f = features
     rate = dropout if train else 0.0
 

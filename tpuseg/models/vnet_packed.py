@@ -670,7 +670,13 @@ def packed_argmax(probs, num_classes, p=8, layout="delta"):
 
     In the class-major layout the argmax is running slice compares on
     contiguous p-channel groups — no reshape at all (for K=2 a single
-    greater-than).  Tie-breaking matches jnp.argmax (first max wins)."""
+    greater-than).  Tie-breaking matches jnp.argmax (first max wins).
+
+    num_classes >= 2 is argmax, which is monotone-invariant — LOGITS are
+    fine.  num_classes == 1 thresholds at 0.5 and therefore requires
+    sigmoid PROBABILITIES (on raw logits the equivalent threshold would
+    be 0.0); callers taking the logits shortcut (e.g. bench.py's
+    whole-volume path) must keep K >= 2."""
     shp = probs.shape
     if layout == "class":
         if num_classes == 1:

@@ -6,8 +6,13 @@ blob volumes with identical seeds/data order, and compares the final
 validation dice and the per-epoch trajectories.  Gate for making the
 bf16 step the bench secondary headline (BASELINE.md round-4 ledger).
 
+VERDICT r4 #6: one seed is a low-powered gate — the synthetic task's
+late epochs are admittedly noisy (f32 swings 0.53<->0.80 epoch to
+epoch).  Multi-seed mode reports the best-checkpoint dice DELTA
+DISTRIBUTION across seeds, not one endpoint.
+
 Run on TPU: PYTHONPATH=/root/repo:/root/.axon_site \
-    python benchmarks/bf16_train_quality_probe.py [epochs]
+    python benchmarks/bf16_train_quality_probe.py [epochs] [nseeds]
 """
 import os
 import sys
@@ -49,7 +54,7 @@ def blobs(n, seed):
     return np.stack(vols), np.stack(masks)
 
 
-def run(dtype, epochs, train, val):
+def run(dtype, epochs, train, val, seed=0):
     model = UNet(ndim=3, num_classes=K, features=16, dropout=0.2)
     tr = make_segmentation_trainer(
         model,
@@ -62,6 +67,7 @@ def run(dtype, epochs, train, val):
             compute_dtype=jnp.dtype(dtype), donate_state=True,
         ),
         packed_stem=True,
+        seed=seed,
     )
 
     def batches(arrs):
@@ -82,22 +88,36 @@ def run(dtype, epochs, train, val):
 
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    nseeds = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     print("platform:", jax.devices()[0].platform, flush=True)
-    train = blobs(8, 1)
-    val = blobs(2, 2)
-    out = {}
-    for dtype in ("float32", "bfloat16"):
-        hist, wall = run(dtype, epochs, train, val)
-        out[dtype] = hist
-        print(f"[{dtype}] {wall:.1f}s  val dice by epoch: "
-              + " ".join(f"{d:.5f}" for d in hist["valdation_accuracy"]),
-              flush=True)
-    f32 = out["float32"]["valdation_accuracy"]
-    bf16 = out["bfloat16"]["valdation_accuracy"]
-    print(f"final val dice: f32 {f32[-1]:.6f}  bf16 {bf16[-1]:.6f}  "
-          f"delta {abs(f32[-1]-bf16[-1]):.2e}")
-    print(f"max per-epoch |delta|: "
-          f"{max(abs(a-b) for a, b in zip(f32, bf16)):.2e}")
+    deltas_best, deltas_final = [], []
+    for seed in range(nseeds):
+        # fresh data AND fresh init per seed (identical between dtypes)
+        train = blobs(8, 1 + 100 * seed)
+        val = blobs(2, 2 + 100 * seed)
+        out = {}
+        for dtype in ("float32", "bfloat16"):
+            hist, wall = run(dtype, epochs, train, val, seed=seed)
+            out[dtype] = hist["valdation_accuracy"]
+            print(f"[seed {seed}][{dtype}] {wall:.1f}s  val dice by epoch: "
+                  + " ".join(f"{d:.5f}" for d in out[dtype]), flush=True)
+        f32, bf16 = out["float32"], out["bfloat16"]
+        d_best = max(bf16) - max(f32)
+        d_final = bf16[-1] - f32[-1]
+        deltas_best.append(d_best)
+        deltas_final.append(d_final)
+        print(f"[seed {seed}] best-ckpt dice: f32 {max(f32):.6f}  "
+              f"bf16 {max(bf16):.6f}  delta {d_best:+.4f}   "
+              f"final delta {d_final:+.4f}", flush=True)
+    if nseeds > 1:
+        db, df = np.array(deltas_best), np.array(deltas_final)
+        print(f"\n=== {nseeds}-seed gate (bf16 - f32; negative = bf16 worse)")
+        print(f"best-ckpt delta: mean {db.mean():+.4f}  min {db.min():+.4f}  "
+              f"max {db.max():+.4f}  per-seed "
+              + " ".join(f"{d:+.4f}" for d in db))
+        print(f"final     delta: mean {df.mean():+.4f}  min {df.min():+.4f}  "
+              f"max {df.max():+.4f}  per-seed "
+              + " ".join(f"{d:+.4f}" for d in df))
 
 
 if __name__ == "__main__":

@@ -1,6 +1,8 @@
 """packed_levels=1 vs 2: does packing the 48^3-scale C32 level too pay?
 
-(a) fwd27 bf16 — the bench primary's hot program
+(a) fwd27 bf16 — the bench primary's hot program (class-major head,
+    matching bench.py's packed_layout="class" since round 4 — VERDICT
+    r4 #5 asked for a post-fold-merge/post-class-major revalidation)
 (b) VNet3d 96^3 b1 f32 train step via the public factory
 
 Interleaved reps (pool-contention rule, CLAUDE.md); min + median.
@@ -45,16 +47,17 @@ def probe_fwd(reps=7, inner=2):
     for lv in (1, 2):
         fns[lv] = jax.jit(
             lambda x, lv=lv: packed_vnet3d_probs(
-                params, x, return_packed=True, packed_levels=lv
+                params, x, return_packed=True, packed_levels=lv,
+                packed_layout="class",
             )
         )
     outs = {lv: sync(fn(xb)) for lv, fn in fns.items()}
-    # exactness cross-check on the real program
+    # exactness cross-check on the real program (class-major: [K, 8])
     a = np.asarray(fns[1](xb), np.float32)
     b = np.asarray(fns[2](xb), np.float32)
     print(f"fwd27 lv1-vs-lv2 max prob diff {np.abs(a - b).max():.2e}, "
           f"argmax agree "
-          f"{(a.reshape(*a.shape[:4],8,2).argmax(-1) == b.reshape(*b.shape[:4],8,2).argmax(-1)).mean():.6f}")
+          f"{(a.reshape(*a.shape[:4],2,8).argmax(-2) == b.reshape(*b.shape[:4],2,8).argmax(-2)).mean():.6f}")
     ts = {lv: [] for lv in fns}
     for _ in range(reps):
         for lv, fn in fns.items():

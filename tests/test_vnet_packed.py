@@ -403,3 +403,36 @@ def test_shift_form_grads_match_dense(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g_shift), np.asarray(g_dense), rtol=1e-4, atol=1e-5
     )
+
+
+def test_affine_gn_lowp_tracks_reshape_form(monkeypatch):
+    """USE_AFFINE_GN_LOWP: bf16 affine-form GN tracks the reshape form
+    within bf16 precision (and is exactly gated OFF for f32 inputs)."""
+    rng = np.random.default_rng(7)
+    f, p = 16, 8
+    scale = jnp.asarray(rng.normal(1.0, 0.2, (f,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0.0, 0.2, (f,)).astype(np.float32))
+    x = jnp.asarray(rng.normal(0.5, 2.0, (2, 4, 4, 4, p * f)).astype(np.float32))
+
+    monkeypatch.setattr(vnet_packed, "USE_AFFINE_GN_LOWP", False)
+    ref = vnet_packed.gn_packed(x.astype(jnp.bfloat16), scale, bias, p=p)
+    ref_f = vnet_packed.gn_fine(x.astype(jnp.bfloat16), jnp.tile(scale, p),
+                                jnp.tile(bias, p))
+    monkeypatch.setattr(vnet_packed, "USE_AFFINE_GN_LOWP", True)
+    got = vnet_packed.gn_packed(x.astype(jnp.bfloat16), scale, bias, p=p)
+    got_f = vnet_packed.gn_fine(x.astype(jnp.bfloat16), jnp.tile(scale, p),
+                                jnp.tile(bias, p))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=0.05, rtol=0.02,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_f, np.float32), np.asarray(ref_f, np.float32),
+        atol=0.05, rtol=0.02,
+    )
+    # f32 inputs: flag must not change the exact flax-form output
+    monkeypatch.setattr(vnet_packed, "USE_AFFINE_GN_LOWP", False)
+    y0 = vnet_packed.gn_packed(x, scale, bias, p=p)
+    monkeypatch.setattr(vnet_packed, "USE_AFFINE_GN_LOWP", True)
+    y1 = vnet_packed.gn_packed(x, scale, bias, p=p)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))

@@ -243,6 +243,32 @@ def block_diag_1x1_packed(w1, extra_in_blocks=(), p=8):
 # ---------------------------------------------------------------------------
 
 
+# Affine-form GN for low-precision compute (bf16 train lever, r5): the
+# reshape form materializes the whole activation in f32 for the
+# normalize pass ((g - mean) * inv) plus two converts each way — in the
+# bf16 train graph that is the dominant non-conv HBM traffic (the r2
+# root-cause of the fine-domain bf16 slowdown was exactly flax's GN f32
+# promotion).  The affine form keeps the STATS reductions in f32
+# (converts fuse into the reduces) but folds (mean, inv, scale, bias)
+# into tiny per-(sample, channel) a/b vectors and applies
+# y = x * a + b in the compute dtype — one bf16 fused multiply-add over
+# the activation instead of an f32 round trip.  Numerically this only
+# differs from the reshape form in x's own precision (the cancellation
+# x*a - mean*a adds O(|mean|/std * 2^-9) absolute error in bf16), so it
+# is gated to low-precision inputs; f32/f64 keep the exact flax form
+# that the golden tests pin.
+USE_AFFINE_GN_LOWP = False  # measured on chip before flipping (ledger)
+
+
+def _gn_affine_apply(x, gview_shape, mean, inv, scale_r, bias_r, stat_dt):
+    """y = x * a + b in x.dtype with a/b formed in stat_dt (tiny)."""
+    a = inv * scale_r
+    b = bias_r - mean * a
+    g = x.reshape(gview_shape)
+    y = g * a.astype(x.dtype) + b.astype(x.dtype)
+    return y.reshape(x.shape)
+
+
 def gn_packed(x, scale, bias, compute_dtype=None, p=8):
     """GroupNorm(8) on packed (N, D', H', W', p*F) == flax GroupNorm(8)
     on the fine tensor: per (sample, group) stats over spatial x delta x
@@ -251,11 +277,16 @@ def gn_packed(x, scale, bias, compute_dtype=None, p=8):
     n = x.shape[0]
     f = x.shape[-1] // p
     stat_dt = jnp.promote_types(x.dtype, jnp.float32)
-    g = x.reshape(n, -1, p, GROUPS, f // GROUPS).astype(stat_dt)
+    gshape = (n, -1, p, GROUPS, f // GROUPS)
+    g = x.reshape(gshape).astype(stat_dt)
     mean = jnp.mean(g, axis=(1, 2, 4), keepdims=True)
     mean2 = jnp.mean(g * g, axis=(1, 2, 4), keepdims=True)
     var = jnp.maximum(mean2 - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + GN_EPS)
+    if USE_AFFINE_GN_LOWP and x.dtype != stat_dt:
+        scale_r = scale.astype(stat_dt).reshape(1, 1, 1, GROUPS, f // GROUPS)
+        bias_r = bias.astype(stat_dt).reshape(1, 1, 1, GROUPS, f // GROUPS)
+        return _gn_affine_apply(x, gshape, mean, inv, scale_r, bias_r, stat_dt)
     y = (g - mean) * inv
     y = y.reshape(x.shape).astype(x.dtype)
     return y * tile_channel_packed(scale, p).astype(
@@ -268,11 +299,16 @@ def gn_fine(x, scale, bias):
     n = x.shape[0]
     c = x.shape[-1]
     stat_dt = jnp.promote_types(x.dtype, jnp.float32)
-    g = x.reshape(n, -1, GROUPS, c // GROUPS).astype(stat_dt)
+    gshape = (n, -1, GROUPS, c // GROUPS)
+    g = x.reshape(gshape).astype(stat_dt)
     mean = jnp.mean(g, axis=(1, 3), keepdims=True)
     mean2 = jnp.mean(g * g, axis=(1, 3), keepdims=True)
     var = jnp.maximum(mean2 - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + GN_EPS)
+    if USE_AFFINE_GN_LOWP and x.dtype != stat_dt:
+        scale_r = scale.astype(stat_dt).reshape(1, 1, GROUPS, c // GROUPS)
+        bias_r = bias.astype(stat_dt).reshape(1, 1, GROUPS, c // GROUPS)
+        return _gn_affine_apply(x, gshape, mean, inv, scale_r, bias_r, stat_dt)
     y = ((g - mean) * inv).reshape(x.shape).astype(x.dtype)
     return y * scale.astype(x.dtype) + bias.astype(x.dtype)
 

@@ -99,10 +99,16 @@ def make_segmentation_trainer(
         # fine-domain 65.9 ms/step — the on-device label pack + 8K-lane
         # loss cost more than the d2s pair they remove.  Off by default;
         # the path stays exactness-tested (test_unet_packed.py).
+        from tpuseg.models.resunet3d import ResUNet3d
+
+        # ResUNet3d's deep-supervision aux heads train in the fine domain
+        # (they upsample from coarser levels), so its packed twin always
+        # returns fine-layout outputs — no packed-grid loss for it.
+        is_resunet = isinstance(model, ResUNet3d)
         packed_loss_fn = None
         if (
             USE_PACKED_CLASS_LOSS and viz_fn is None and num_classes > 1
-            and accuracy_name in ("dice", "iou")
+            and accuracy_name in ("dice", "iou") and not is_resunet
         ):
             from tpuseg.losses.packed_class import build_packed_loss
 
@@ -112,7 +118,7 @@ def make_segmentation_trainer(
         packed_class = packed_loss_fn is not None
         packed_grid = packed_class or (
             USE_PACKED_GRID_LOSS and viz_fn is None
-            and "ClDice" not in loss_name
+            and "ClDice" not in loss_name and not is_resunet
         )
         packed_layout = "class" if packed_class else "delta"
 
@@ -141,10 +147,21 @@ def make_segmentation_trainer(
                 )
                 return {"logits": logits, "probs": probs}
 
+        elif is_resunet:
+            from tpuseg.models.resunet_packed import packed_resunet3d_apply
+
+            def apply_fn(params, batch, train, rng):
+                logits, probs, aux = packed_resunet3d_apply(
+                    params, batch["image"], num_classes=num_classes,
+                    features=model.features, dropout=model.dropout,
+                    train=train, rng=rng if train else None,
+                )
+                return {"logits": logits, "probs": probs, "ds_logits": aux}
+
         else:
             raise ValueError(
-                "packed_stem=True supports UNet(ndim=3) and VNet(ndim=3); "
-                f"got {type(model).__name__}"
+                "packed_stem=True supports UNet(ndim=3), VNet(ndim=3) and "
+                f"ResUNet3d; got {type(model).__name__}"
             )
 
     else:

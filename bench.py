@@ -571,7 +571,13 @@ def main():
                         vols_per_sec_25 / base25, 3
                     ),
                     "overlap25_voxel_agreement_vs_50": round(agreement_25_vs_50, 5),
-                    "trained_dice_evidence": "config3: 0.9754 @25% vs 0.9613 @50% vs 0.9906 whole-volume (BASELINE.md)",
+                    "trained_dice_evidence": (
+                        "config3 TRAINED-net via compat packed dispatch "
+                        "(r5, BASELINE.md round-5 ledger): packed f32 "
+                        "0.9613 = plain f32 0.9613 (delta 0.0, voxel "
+                        "agreement 1.0); packed bf16-compute 0.9613 "
+                        "(delta 0.0, agreement 1.0)"
+                    ),
                     "patches_per_volume": int(n_patches),
                     "unet3d_train_steps_per_sec_112x112x128_bs1": round(
                         train_steps_per_sec, 4

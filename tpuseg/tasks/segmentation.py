@@ -105,6 +105,11 @@ def make_segmentation_trainer(
         # (they upsample from coarser levels), so its packed twin always
         # returns fine-layout outputs — no packed-grid loss for it.
         is_resunet = isinstance(model, ResUNet3d)
+
+        def _is_stunet(m):
+            from tpuseg.models.stunet3d import STUNet3d
+
+            return isinstance(m, STUNet3d)
         packed_loss_fn = None
         if (
             USE_PACKED_CLASS_LOSS and viz_fn is None and num_classes > 1
@@ -147,6 +152,18 @@ def make_segmentation_trainer(
                 )
                 return {"logits": logits, "probs": probs}
 
+        elif _is_stunet(model):
+            from tpuseg.models.stunet_packed import packed_stunet3d_apply
+
+            def apply_fn(params, batch, train, rng):
+                logits, probs = packed_stunet3d_apply(
+                    params, batch["image"], num_classes=num_classes,
+                    features=model.features, dropout=model.dropout,
+                    train=train, rng=rng if train else None,
+                    return_packed=packed_grid, packed_layout=packed_layout,
+                )
+                return {"logits": logits, "probs": probs}
+
         elif is_resunet:
             from tpuseg.models.resunet_packed import packed_resunet3d_apply
 
@@ -160,8 +177,8 @@ def make_segmentation_trainer(
 
         else:
             raise ValueError(
-                "packed_stem=True supports UNet(ndim=3), VNet(ndim=3) and "
-                f"ResUNet3d; got {type(model).__name__}"
+                "packed_stem=True supports UNet(ndim=3), VNet(ndim=3), "
+                f"STUNet3d and ResUNet3d; got {type(model).__name__}"
             )
 
     else:

@@ -444,22 +444,22 @@ def test_spatial_trainer_product_path_end_to_end():
     assert np.isfinite(np.asarray(logits)).all()
 
 
-def test_packed_stem_spatial_exclusion_is_loud():
-    """packed_stem x spatial (space>1) is a DOCUMENTED exclusion (config.py
-    TrainConfig.packed_stem): the packed graph never materializes fine
-    activations, spatial halo convs operate in the fine domain.  The
-    factory must raise immediately, not silently drop a flag."""
+def test_packed_stem_spatial_non_unet_is_loud():
+    """packed_stem x spatial (space>1) is supported for UNet3d
+    (models/unet_packed_sp.py, tests/test_packed_spatial.py); for every
+    other model it remains a DOCUMENTED exclusion — the factory must
+    raise immediately, not silently drop a flag."""
     from tpuseg.core.mesh import MeshContext
-    from tpuseg.models.unet import UNet
+    from tpuseg.models.vnet import VNet
     from tpuseg.tasks.segmentation import make_segmentation_trainer
     from tpuseg.tasks.trainer import TrainerConfig
 
     mesh = MeshContext(make_mesh(data=2, model=1, space=2))
-    model = UNet(ndim=3, num_classes=2, features=8, dropout=0.0, levels=2)
-    with pytest.raises(ValueError, match="packed_stem is incompatible"):
+    model = VNet(ndim=3, num_classes=2, features=8, dropout=0.0)
+    with pytest.raises(ValueError, match="packed_stem with spatial"):
         make_segmentation_trainer(
             model,
-            example_image=np.zeros((1, 16, 8, 8, 1), np.float32),
+            example_image=np.zeros((1, 32, 32, 32, 1), np.float32),
             num_classes=2,
             loss_name="MutilCrossEntropyDiceLoss",
             alpha=[1.0, 1.0],

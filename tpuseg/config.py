@@ -52,23 +52,20 @@ class TrainConfig:
     mesh_data: int = -1             # -1: all devices data-parallel
     mesh_model: int = 1
     mesh_space: int = 1             # >1: z-sharded spatial training (tasks/spatial.py)
-    packed_stem: bool = False       # UNet3d/VNet3d: space-to-depth packed
-    #                                 finest level(s) (models/unet_packed.py,
-    #                                 vnet_packed.py) — exact grads, measured
-    #                                 2.6x faster train step.  Mutually
-    #                                 exclusive with mesh_space>1: spatial
-    #                                 training's z-sharded halo convs operate
-    #                                 in the fine voxel domain, while the
+    packed_stem: bool = False       # UNet3d/VNet3d/STUNet3d/ResUNet3d:
+    #                                 space-to-depth packed finest level(s)
+    #                                 (models/*_packed.py) — exact grads,
+    #                                 measured 2.6x faster train step.  With
+    #                                 mesh_space>1 the composition runs for
+    #                                 UNet3d only (models/unet_packed_sp.py:
+    #                                 halo'd packed convs + psum'd GN); for
+    #                                 the other models spatial training's
+    #                                 z-sharded halo convs operate in the
+    #                                 fine voxel domain, while the
     #                                 packed graph never materializes fine
-    #                                 activations past the input — composing
-    #                                 them would need coarse-domain halo
-    #                                 exchange rules for the 1/8-dense packed
-    #                                 kernels (not built; packed_stem targets
-    #                                 the single-chip lane-starvation problem
-    #                                 that spatial sharding doesn't have,
-    #                                 since sharding multiplies the per-chip
-    #                                 batch*channel lane deficit).  The
-    #                                 trainer factory raises on the combo.
+    #                                 activations past the input.  The
+    #                                 trainer factory raises on non-UNet
+    #                                 packed x spatial combos.
     profile: bool = False           # jax.profiler trace of a few steps
     compute_dtype: str = "float32"  # "bfloat16": mixed-precision train —
     #                                 f32 master params/optimizer/loss,

@@ -60,18 +60,25 @@ def make_segmentation_trainer(
         and mesh.mesh.shape.get("space", 1) > 1
         and mesh.mesh.shape.get("model", 1) == 1
     ):
+        # packed x spatial composition: UNet3d runs the space-to-depth
+        # packed forward z-sharded (models/unet_packed_sp.py — halo'd
+        # packed convs + psum'd GN); other models need the per-layer
+        # flax twins and keep the plain spatial path.
         if packed_stem:
-            raise ValueError(
-                "packed_stem is incompatible with spatial (space>1) "
-                "training: the z-sharded halo convs operate in the fine "
-                "domain (tasks/spatial.py)"
-            )
+            from tpuseg.models.unet import UNet
+
+            if not (isinstance(model, UNet) and model.ndim == 3):
+                raise ValueError(
+                    "packed_stem with spatial (space>1) training supports "
+                    f"UNet(ndim=3) only; got {type(model).__name__} — "
+                    "drop packed_stem for the plain z-sharded twin"
+                )
         from tpuseg.tasks.spatial import make_spatial_segmentation_trainer
 
         return make_spatial_segmentation_trainer(
             model, example_image, num_classes, loss_name,
             alpha=alpha, gamma=gamma, config=config, mesh=mesh,
-            seed=seed, viz_fn=viz_fn,
+            seed=seed, viz_fn=viz_fn, packed_stem=packed_stem,
         )
 
     loss = build_loss(loss_name, num_classes, alpha=alpha, gamma=gamma)

@@ -61,6 +61,7 @@ class SpatialSegTrainer(Trainer):
         config: TrainerConfig,
         mesh: MeshContext,
         viz_fn=None,
+        packed_stem: bool = False,
     ):
         assert mesh.mesh.shape[SPACE_AXIS] > 1
         assert mesh.mesh.shape[MODEL_AXIS] == 1, (
@@ -68,12 +69,29 @@ class SpatialSegTrainer(Trainer):
             "use mesh model=1 with space>1"
         )
         assert num_classes >= 2, "spatial training is the multiclass 3D path"
+        self.num_classes = num_classes
         if loss_name not in SPATIAL_LOSS_NAMES:
             raise ValueError(
                 f"loss {loss_name!r} is not shard-decomposable; "
                 f"spatial training supports {SPATIAL_LOSS_NAMES}"
             )
-        self.sp_model = spatial_twin(model)
+        self.packed_stem = bool(packed_stem)
+        if self.packed_stem:
+            # packed x spatial composition (models/unet_packed_sp.py):
+            # the z-sharded step runs the space-to-depth packed forward
+            # with halo'd packed convs + psum'd GN.  UNet3d only — the
+            # other twins keep the plain spatial path.
+            from tpuseg.models.unet import UNet
+
+            if not (isinstance(model, UNet) and model.ndim == 3):
+                raise ValueError(
+                    "packed_stem with space>1 supports UNet(ndim=3); "
+                    f"got {type(model).__name__}"
+                )
+            self.sp_model = None
+            self._packed_model = model
+        else:
+            self.sp_model = spatial_twin(model)
         self.loss_name = loss_name
         self.alpha = alpha
         self.gamma = gamma
@@ -86,6 +104,28 @@ class SpatialSegTrainer(Trainer):
     def _build_steps(self):
         mesh = self.mesh.mesh
         sp_model = self.sp_model
+        if self.packed_stem:
+            from tpuseg.models.unet_packed import UNET_PACKED_LEVELS_DEFAULT
+            from tpuseg.models.unet_packed_sp import packed_unet3d_apply_sp
+
+            m = self._packed_model
+            nc, feats, lv, drop = (
+                self.num_classes, m.features, m.levels, m.dropout,
+            )
+            plv = UNET_PACKED_LEVELS_DEFAULT
+
+            def apply_local(params, image, train, key):
+                return packed_unet3d_apply_sp(
+                    params, image, axis_name=SPACE_AXIS, num_classes=nc,
+                    features=feats, levels=lv, dropout=drop, train=train,
+                    rng=key if train else None, packed_levels=plv,
+                )
+        else:
+
+            def apply_local(params, image, train, key):
+                kw = {"rngs": {"dropout": key}} if train else {}
+                return sp_model.apply(params, image, train=train, **kw)
+
         loss_name, alpha, gamma = self.loss_name, self.alpha, self.gamma
         tx = self.tx
         n_data = mesh.shape[DATA_AXIS]
@@ -105,9 +145,7 @@ class SpatialSegTrainer(Trainer):
         )
         def loss_grads_metric(params, image, label, key):
             def loss_fn(p):
-                logits, probs = sp_model.apply(
-                    p, image, train=True, rngs={"dropout": local_key(key)}
-                )
+                logits, probs = apply_local(p, image, True, local_key(key))
                 loss = spatial_seg_loss(
                     logits.astype(jnp.float32), label, loss_name,
                     loss_axes, alpha, gamma,
@@ -131,7 +169,7 @@ class SpatialSegTrainer(Trainer):
             check_vma=False,
         )
         def eval_local(params, image, label):
-            logits, probs = sp_model.apply(params, image, train=False)
+            logits, probs = apply_local(params, image, False, None)
             loss = spatial_seg_loss(
                 logits.astype(jnp.float32), label, loss_name,
                 loss_axes, alpha, gamma,
@@ -197,6 +235,7 @@ def make_spatial_segmentation_trainer(
     mesh: Optional[MeshContext] = None,
     seed: int = 0,
     viz_fn=None,
+    packed_stem: bool = False,
 ) -> SpatialSegTrainer:
     """Factory mirroring make_segmentation_trainer for space>1 meshes.
 
@@ -207,5 +246,5 @@ def make_spatial_segmentation_trainer(
     params = model.init(jax.random.key(seed), jnp.asarray(example_image))
     return SpatialSegTrainer(
         model, loss_name, num_classes, alpha, gamma,
-        params, config, mesh, viz_fn=viz_fn,
+        params, config, mesh, viz_fn=viz_fn, packed_stem=packed_stem,
     )

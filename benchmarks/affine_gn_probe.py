@@ -39,15 +39,18 @@ TRAIN_SHAPE = (128, 112, 112)
 K = 5
 
 
-def make_step(params):
+def make_step(params, compute_dtype=jnp.bfloat16):
     loss_obj = build_loss("MutilDiceLoss", K, alpha=[1.0] * K)
     tx = optim_lib.adam(1e-3)
     opt_state = tx.init(params)
 
     def loss_fn(p, image, label):
-        p = jax.tree_util.tree_map(lambda t: t.astype(jnp.bfloat16), p)
+        if compute_dtype is not None:
+            p = jax.tree_util.tree_map(
+                lambda t: t.astype(compute_dtype), p)
+            image = image.astype(compute_dtype)
         logits, _ = packed_unet3d_apply(
-            p, image.astype(jnp.bfloat16), num_classes=K, features=16,
+            p, image, num_classes=K, features=16,
             levels=4, dropout=0.0, train=True, rng=None,
         )
         return loss_obj(logits.astype(jnp.float32), label)
@@ -76,10 +79,27 @@ def main():
         jnp.asarray(rng.integers(0, K, size=(1, *TRAIN_SHAPE)), jnp.int32)
     )
 
+    # (name, USE_AFFINE_GN_LOWP, USE_GEMM_STEM_DW, compute_dtype) —
+    # gemm-dw targets the 2.13 ms stem filter-grad fusion from the same
+    # r5 profile; the f32 pair checks the lever on the product default
+    # (affine-gn self-gates OFF for f32 inputs, so only gemm-dw applies)
+    variants = (
+        ("baseline", False, False, jnp.bfloat16),
+        ("affine-gn", True, False, jnp.bfloat16),
+        ("gemm-dw", False, True, jnp.bfloat16),
+        ("both", True, True, jnp.bfloat16),
+        ("f32-baseline", False, False, None),
+        ("f32-gemm-dw", False, True, None),
+    )
+    import sys
+    if len(sys.argv) > 1:  # optional variant-name filter
+        keep = set(sys.argv[1].split(","))
+        variants = tuple(v for v in variants if v[0] in keep)
     runners = {}
-    for name, flag in (("reshape", False), ("affine", True)):
-        vnet_packed.USE_AFFINE_GN_LOWP = flag
-        step, state = make_step(params)
+    for name, gn_flag, dw_flag, dt in variants:
+        vnet_packed.USE_AFFINE_GN_LOWP = gn_flag
+        vnet_packed.USE_GEMM_STEM_DW = dw_flag
+        step, state = make_step(params, dt)
         t0 = time.perf_counter()
         state, l0 = step(state, image, label)  # traces with `flag` baked
         l0 = float(l0)
@@ -96,6 +116,7 @@ def main():
 
         runners[name] = (run, holder)
     vnet_packed.USE_AFFINE_GN_LOWP = False
+    vnet_packed.USE_GEMM_STEM_DW = False
 
     ts = {k: [] for k in runners}
     for _ in range(6):
@@ -106,8 +127,11 @@ def main():
     for k, v in ts.items():
         print(f"{k}: {min(v)/10*1e3:.1f} ms/step (min)  "
               f"{np.median(v)/10*1e3:.1f} ms/step (median)")
-    print("affine speedup (min): "
-          f"{min(ts['reshape'])/min(ts['affine']):.3f}x")
+    for k in ts:
+        ref = "f32-baseline" if k.startswith("f32") else "baseline"
+        if k != ref and ref in ts:
+            print(f"{k} speedup vs {ref} (min): "
+                  f"{min(ts[ref])/min(ts[k]):.3f}x")
     for k, (_, h) in runners.items():
         print(f"{k} loss trajectory (every 10 steps): "
               + " ".join(f"{l:.6f}" for l in h["losses"]))

@@ -436,3 +436,35 @@ def test_affine_gn_lowp_tracks_reshape_form(monkeypatch):
     monkeypatch.setattr(vnet_packed, "USE_AFFINE_GN_LOWP", True)
     y1 = vnet_packed.gn_packed(x, scale, bias, p=p)
     np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
+def test_gemm_stem_dw_matches_conv_grad(monkeypatch):
+    """USE_GEMM_STEM_DW: the shift-stacked s2d GEMM filter-gradient of
+    the fine->packed k4s2 conv matches XLA's grad-conv (f32, tight),
+    and the fwd + dX are the unchanged convs (exact)."""
+    rng = np.random.default_rng(11)
+    for ci in (1, 3):  # level-0 image and a multi-channel fine input
+        x = jnp.asarray(rng.normal(size=(2, 8, 10, 12, ci)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(4, 4, 4, ci, 24)).astype(np.float32))
+        t = jnp.asarray(
+            rng.normal(size=(2, 4, 5, 6, 24)).astype(np.float32))
+
+        def loss(args, flag):
+            monkeypatch.setattr(vnet_packed, "USE_GEMM_STEM_DW", flag)
+            y = vnet_packed.conv_k4s2_fine2packed(*args)
+            return jnp.sum((y - t) ** 2)
+
+        y0 = vnet_packed.conv_k4s2_fine2packed(x, w)
+        monkeypatch.setattr(vnet_packed, "USE_GEMM_STEM_DW", True)
+        y1 = vnet_packed.conv_k4s2_fine2packed(x, w)
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+        gx0, gw0 = jax.grad(lambda a: loss(a, False))((x, w))
+        gx1, gw1 = jax.grad(lambda a: loss(a, True))((x, w))
+        np.testing.assert_allclose(
+            np.asarray(gx1), np.asarray(gx0), rtol=1e-5, atol=1e-5)
+        # reduction order differs (one long GEMM vs the conv's spatial
+        # tiling): tolerance scaled to the gradient magnitude
+        tol = 1e-5 * float(jnp.max(jnp.abs(gw0)))
+        np.testing.assert_allclose(
+            np.asarray(gw1), np.asarray(gw0), rtol=1e-4, atol=tol)

@@ -40,6 +40,7 @@ from tpuseg.models.vnet_packed import (
     GN_EPS,
     _conv,
     block_diag_1x1_packed,
+    conv_k4s2_fine2packed,
     channel_dropout,
     depth_to_space3d,
     pack_head_1x1,
@@ -196,8 +197,7 @@ def packed_stunet3d_apply(params, x, *, num_classes: int,
     d0 = p["_DualPathDown_0"]
     g0 = d0["GroupNorm_0"]
     wa = d0["ConvND_0"]["Conv_0"]
-    a = _conv(x, pack_k3_to_k4s2(wa["kernel"]), strides=(2, 2, 2),
-              padding=[(1, 2)] * 3)
+    a = conv_k4s2_fine2packed(x, pack_k3_to_k4s2(wa["kernel"]))
     a = a + tile_channel_packed(wa["bias"]).astype(x.dtype)
     a = jax.nn.leaky_relu(in_packed(a, g0["scale"], g0["bias"]))
     wb = d0["ConvND_1"]["Conv_0"]

@@ -37,6 +37,7 @@ import numpy as np
 from tpuseg.models.vnet_packed import (
     _conv,
     _conv_t,
+    conv_k4s2_fine2packed,
     channel_dropout as _channel_dropout_impl,
     depth_to_space3d,
     gn_fine,
@@ -84,8 +85,7 @@ def _convblock_packed(x, p, rate, rngs, first_fine_input: bool):
     fine->packed k4s2; otherwise both convs are packed->packed k3-coarse."""
     w0 = p["ConvND_0"]["Conv_0"]["kernel"]
     if first_fine_input:
-        x = _conv(x, pack_k3_to_k4s2(w0), strides=(2, 2, 2),
-                  padding=[(1, 2)] * 3)
+        x = conv_k4s2_fine2packed(x, pack_k3_to_k4s2(w0))
     else:
         x = packed_k3_conv((x,), w0, (True, True, True))
     g = p["GroupNorm_0"]

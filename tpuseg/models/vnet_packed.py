@@ -401,6 +401,95 @@ def _conv_t(x, w, strides=(2, 2, 2)):
     )
 
 
+# The fine->packed stem conv (k4 stride-2, padding (1,2) — the
+# pack_k3_to_k4s2 form) is the one conv packing can't widen: its
+# filter gradient contracts over only Cin (1 at level 0) of 8 MXU
+# sublanes, and the r5 train-step profile puts that single dW fusion at
+# 2.13 ms/step (bf16) — the largest attackable block.  With
+# USE_GEMM_STEM_DW the custom VJP computes dW as ONE full-width GEMM:
+# space-to-depth the (1,2→3)-padded input by 2 (8*Cin channels), shift-
+# stack the 8 (a1d,a1h,a1w) in {0,1}^3 window-block offsets (a = a0 +
+# 2*a1 splits each k4 offset into an s2d phase a0 and a block shift
+# a1), and contract all n*d2*h2*w2 positions against dy:
+# [64*Cin, Npos] @ [Npos, Cout].  Same arithmetic up to f32 reduction
+# order; fwd and dX are the unchanged XLA convs.
+USE_GEMM_STEM_DW = True  # measured on chip r5: bf16 54.6->53.6, f32
+# 62.0->60.4 ms/step interleaved; fwd bit-identical (ledger)
+
+_STEM_PAD = ((1, 2),) * 3
+
+
+def _stem_dw_perm(ci: int) -> np.ndarray:
+    """Rows of the (a1-major, a0-minor, ci) GEMM -> (kd, kh, kw, ci)."""
+    perm = np.empty((4, 4, 4, ci), np.int32)
+    for kd in range(4):
+        for kh in range(4):
+            for kw in range(4):
+                row = (((kd // 2) * 2 + kh // 2) * 2 + kw // 2) * 8 + (
+                    ((kd % 2) * 2 + kh % 2) * 2 + kw % 2)
+                perm[kd, kh, kw] = row * ci + np.arange(ci)
+    return perm.reshape(-1)
+
+
+def _stem_dw_gemm(x, dy, wshape, wdtype):
+    n, d, h, w, ci = x.shape
+    d2, h2, w2 = dy.shape[1:4]
+    co = dy.shape[-1]
+    # high pad 3 = the conv's high pad 2 plus one alignment zero (never
+    # read: max fine index touched is 2*(d2-1)+3 = d+1).
+    xp = jnp.pad(x, ((0, 0), (1, 3), (1, 3), (1, 3), (0, 0)))
+    dp, hp, wp = (d + 4) // 2, (h + 4) // 2, (w + 4) // 2
+    xe = xp.reshape(n, dp, 2, hp, 2, wp, 2, ci)
+    xe = xe.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(n, dp, hp, wp, 8 * ci)
+    parts = [
+        jax.lax.slice(xe, (0, a1d, a1h, a1w, 0),
+                      (n, a1d + d2, a1h + h2, a1w + w2, 8 * ci))
+        for a1d in (0, 1) for a1h in (0, 1) for a1w in (0, 1)
+    ]
+    xs = jnp.concatenate(parts, axis=-1)  # (n, d2, h2, w2, 64*ci)
+    acc_dt = jnp.promote_types(x.dtype, jnp.float32)  # f64 stays f64
+    dwf = jnp.einsum("ndhwc,ndhwo->co", xs, dy,
+                     preferred_element_type=acc_dt)
+    return dwf[_stem_dw_perm(ci)].reshape(wshape).astype(wdtype)
+
+
+@jax.custom_vjp
+def _stem_conv_raw(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (2, 2, 2), _STEM_PAD, dimension_numbers=DN,
+        preferred_element_type=x.dtype,
+    )
+
+
+def _stem_conv_fwd(x, w):
+    return _stem_conv_raw(x, w), (x, w)
+
+
+def _stem_conv_bwd(res, dy):
+    x, w = res
+
+    def f(xx):
+        return jax.lax.conv_general_dilated(
+            xx, w, (2, 2, 2), _STEM_PAD, dimension_numbers=DN,
+            preferred_element_type=x.dtype,
+        )
+
+    _, vjp_x = jax.vjp(f, x)  # dX: the standard XLA grad-conv
+    (dx,) = vjp_x(dy)
+    return dx, _stem_dw_gemm(x, dy, w.shape, w.dtype)
+
+
+_stem_conv_raw.defvjp(_stem_conv_fwd, _stem_conv_bwd)
+
+
+def conv_k4s2_fine2packed(x, w):
+    """fine->packed k4s2 conv; flag-gated GEMM filter-grad (above)."""
+    w = w.astype(x.dtype)
+    if USE_GEMM_STEM_DW:
+        return _stem_conv_raw(x, w)
+    return _conv(x, w, strides=(2, 2, 2), padding=list(_STEM_PAD))
+
+
 def _axis_select_packed():
     """A[u, din, dout, t] = 1 iff fine tap t = 2(u-1)+din-dout+1 in [0,3)."""
     a = np.zeros((3, 2, 2, 3), np.float32)
@@ -788,8 +877,7 @@ def packed_vnet3d_apply(params, x, *, num_classes=2, features=16,
     # ---- InputTransition, packed ----
     wa = pit["ConvND_0"]["Conv_0"]
     wb = pit["ConvND_1"]["Conv_0"]
-    a = _conv(x, pack_k3_to_k4s2(wa["kernel"]), strides=(2, 2, 2),
-              padding=[(1, 2)] * 3)
+    a = conv_k4s2_fine2packed(x, pack_k3_to_k4s2(wa["kernel"]))
     a = a + tile_channel_packed(wa["bias"]).astype(x.dtype)
     b = _conv(x, pack_k1_to_k2s2(wb["kernel"]), strides=(2, 2, 2),
               padding="VALID")
@@ -936,8 +1024,7 @@ def packed_vnet3d_apply(params, x, *, num_classes=2, features=16,
         lu = packed_k3_conv((catp,), wl["kernel"], (True, True, True))
     else:  # d2s + k4s2
         cat_fine = depth_to_space3d(catp)
-        lu = _conv(cat_fine, pack_k3_to_k4s2(wl["kernel"]), strides=(2, 2, 2),
-                   padding=[(1, 2)] * 3)
+        lu = conv_k4s2_fine2packed(cat_fine, pack_k3_to_k4s2(wl["kernel"]))
     lu = lu + tile_channel_packed(wl["bias"]).astype(x.dtype)
     lu = jax.nn.relu(channel_dropout(
         gn_packed(lu, plu["GroupNorm_0"]["scale"], plu["GroupNorm_0"]["bias"]),

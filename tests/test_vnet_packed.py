@@ -468,3 +468,31 @@ def test_gemm_stem_dw_matches_conv_grad(monkeypatch):
         tol = 1e-5 * float(jnp.max(jnp.abs(gw0)))
         np.testing.assert_allclose(
             np.asarray(gw1), np.asarray(gw0), rtol=1e-4, atol=tol)
+
+
+def test_affine_gn_lowp_grads_track(monkeypatch):
+    """Backward numerics for the affine-GN flip: bf16 parameter and
+    input gradients track the reshape form within bf16 rounding."""
+    rng = np.random.default_rng(3)
+    f, p = 16, 8
+    scale = jnp.asarray(rng.normal(1.0, 0.2, (f,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0.0, 0.2, (f,)).astype(np.float32))
+    x = jnp.asarray(
+        rng.normal(0.5, 2.0, (2, 4, 4, 4, p * f)).astype(np.float32))
+    t = jnp.asarray(
+        rng.normal(size=(2, 4, 4, 4, p * f)).astype(np.float32))
+
+    def loss(args, flag):
+        monkeypatch.setattr(vnet_packed, "USE_AFFINE_GN_LOWP", flag)
+        xx, s, b = args
+        y = vnet_packed.gn_packed(xx.astype(jnp.bfloat16), s, b, p=p)
+        return jnp.sum((y.astype(jnp.float32) - t) ** 2)
+
+    g0 = jax.grad(lambda a: loss(a, False))((x, scale, bias))
+    g1 = jax.grad(lambda a: loss(a, True))((x, scale, bias))
+    for a, b_, name in zip(g0, g1, ("x", "scale", "bias")):
+        ref = np.asarray(a)
+        tol = 0.03 * max(1.0, float(np.abs(ref).max()))
+        np.testing.assert_allclose(
+            np.asarray(b_), ref, atol=tol,
+            err_msg=f"affine-GN bf16 grad drift on {name}")

@@ -257,7 +257,16 @@ def block_diag_1x1_packed(w1, extra_in_blocks=(), p=8):
 # x*a - mean*a adds O(|mean|/std * 2^-9) absolute error in bf16), so it
 # is gated to low-precision inputs; f32/f64 keep the exact flax form
 # that the golden tests pin.
-USE_AFFINE_GN_LOWP = False  # measured on chip before flipping (ledger)
+USE_AFFINE_GN_LOWP = False  # raw switch, read at trace time
+# Policy (r5, ledger): TRAIN graphs use the affine form for
+# low-precision inputs (-2.5 ms/step on the bf16 packed train step —
+# the f32 (g-mean)*inv round trips cost in the backward), while
+# INFERENCE keeps the reshape form (fwd27 A/B measured a wash, 106.8 vs
+# 108.5 ms, so eval/predict numerics stay identical to the plain
+# model).  tasks/segmentation.py enters affine_gn_lowp(train) around
+# the packed apply; the `with` body executes during tracing, so the
+# flag binds per traced program.
+AFFINE_GN_IN_TRAINING = True
 
 
 def _gn_affine_apply(x, gview_shape, mean, inv, scale_r, bias_r, stat_dt):
@@ -353,6 +362,20 @@ _INT8_MIN_CIN = 32  # skip tiny-Cin convs (quant overhead dwarfs the MXU win)
 
 
 import contextlib
+
+
+@contextlib.contextmanager
+def affine_gn_lowp(enable: bool = True):
+    """Use the affine GN form for low-precision inputs inside this
+    context (read at TRACE time — the `with` body must execute while the
+    consuming function is being traced).  See AFFINE_GN_IN_TRAINING."""
+    global USE_AFFINE_GN_LOWP
+    prev = USE_AFFINE_GN_LOWP
+    USE_AFFINE_GN_LOWP = enable
+    try:
+        yield
+    finally:
+        USE_AFFINE_GN_LOWP = prev
 
 
 @contextlib.contextmanager

@@ -188,6 +188,19 @@ def make_segmentation_trainer(
                 f"STUNet3d and ResUNet3d; got {type(model).__name__}"
             )
 
+        # r5 (ledger): TRAIN graphs use the affine GN form for
+        # low-precision inputs (-2.5 ms/step bf16; fwd27 inference A/B
+        # was a wash, so eval keeps the reshape form and its exact
+        # plain-model numerics).  The context binds at trace time —
+        # `train` is a Python bool here.
+        from tpuseg.models import vnet_packed as _vp
+
+        _inner_apply = apply_fn
+
+        def apply_fn(params, batch, train, rng, _fn=_inner_apply):
+            with _vp.affine_gn_lowp(_vp.AFFINE_GN_IN_TRAINING and train):
+                return _fn(params, batch, train, rng)
+
     else:
         packed_grid = False
         packed_class = False
